@@ -1,0 +1,43 @@
+"""Rasterization semantics + capacity configuration.
+
+The numeric thresholds pin down the exact compositing semantics shared by
+the pure-jnp reference path and the Pallas TPU path, chosen to match the
+reference 3DGS rasterizer that RoboSimGS delegates to via Nerfstudio
+(`/root/reference/README.md:73-75`, SURVEY.md §3.4):
+
+  * alpha = min(alpha_clamp, opacity * exp(-sigma)), clamp 0.99
+  * contributions with alpha < alpha_min (1/255) are skipped
+  * front-to-back compositing stops *before* the contribution that would
+    bring transmittance T below transmittance_min (1e-4)
+  * 2D covariance gets a +blur (0.3 px^2) isotropic low-pass
+  * a Gaussian only contributes to pixels of tiles its radius bbox
+    touches (radius = radius_factor * sqrt(max eigenvalue of cov2d)) —
+    this tile test is applied in BOTH paths so they agree bitwise in
+    structure, not just approximately.
+
+Capacity fields make every shape static for XLA: max tiles per Gaussian
+(`max_tiles_per_gaussian`) and per-tile bin capacity (`tile_capacity`).
+Overflow is counted and reported, never silently corrupting the image
+ordering (closest-in-depth entries win; see render/binning.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    tile_size: int = 16
+    radius_factor: float = 3.0
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    transmittance_min: float = 1.0e-4
+    blur: float = 0.3
+    near: float = 0.01
+    # static capacities
+    max_tiles_per_gaussian: int = 64
+    tile_capacity: int = 1024
+    # reference-path pixel block rows processed at once (memory knob)
+    ref_rows_per_block: int = 32
+    ref_gaussian_chunk: int = 512

@@ -1,0 +1,128 @@
+"""Per-Gaussian projection: world 3D Gaussians -> screen-space splats.
+
+This is the EWA projection stage of the 3DGS rasterizer (the part of the
+reference's delegated gsplat core that runs one thread per Gaussian,
+SURVEY.md §3.4): camera transform, perspective Jacobian with FOV-limit
+clamping, 2D covariance + low-pass blur, conic inversion, radius/culling,
+and SH color evaluation. Pure jnp — O(N) elementwise work that XLA fuses
+well on the VPU; autodiff supplies the exact backward, so only the O(N*P)
+compositing stage (render/pallas) needs a hand-written VJP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from robosimgs_tpu.core.camera import Camera
+from robosimgs_tpu.core.math3d import build_covariance
+from robosimgs_tpu.core.sh import eval_sh
+from robosimgs_tpu.core.types import Gaussians
+from robosimgs_tpu.render.config import RenderConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Projected:
+    """Screen-space splats, one slot per Gaussian (capacity-static).
+
+    means2d: (N, 2) pixel coords (pixel centers at integer coordinates).
+    conics:  (N, 3) (a, b, c) of the inverse 2D covariance.
+    depths:  (N,)   camera-space z.
+    radii:   (N,)   float pixel radius (0 where culled).
+    colors:  (N, 3) SH-evaluated RGB.
+    opacities: (N,) activated opacity.
+    valid:   (N,)   bool — alive, in front of camera, invertible, on screen.
+    """
+
+    means2d: jax.Array
+    conics: jax.Array
+    depths: jax.Array
+    radii: jax.Array
+    colors: jax.Array
+    opacities: jax.Array
+    valid: jax.Array
+
+
+def project(
+    gaussians: Gaussians,
+    camera: Camera,
+    cfg: RenderConfig = RenderConfig(),
+    sh_degree: int | None = None,
+) -> Projected:
+    g = gaussians
+    if sh_degree is None:
+        sh_degree = g.sh_degree
+
+    w2c = camera.w2c
+    R_cw = w2c[:3, :3]
+    t_cw = w2c[:3, 3]
+
+    t = g.means @ R_cw.T + t_cw  # (N, 3) camera-space centers
+    tz = t[:, 2]
+    in_front = tz > cfg.near
+    tz_safe = jnp.where(in_front, tz, 1.0)
+
+    # 3D covariance rotated into the camera frame.
+    cov3d = build_covariance(g.normalized_quats(), g.scales())
+    cov_cam = R_cw @ cov3d @ R_cw.T  # (N, 3, 3)
+
+    # Perspective Jacobian with the reference's 1.3x-FOV clamping of the
+    # projected center (stabilizes far-off-screen Gaussians).
+    tan_fx, tan_fy = camera.tan_half_fov
+    lim_x = 1.3 * tan_fx
+    lim_y = 1.3 * tan_fy
+    txz = jnp.clip(t[:, 0] / tz_safe, -lim_x, lim_x)
+    tyz = jnp.clip(t[:, 1] / tz_safe, -lim_y, lim_y)
+    fx, fy = camera.fx, camera.fy
+    inv_z = 1.0 / tz_safe
+    # J = [[fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]]  (rows of 2x3)
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z
+
+    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
+    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    # cov2d = J C J^T (expanded; J sparse with zeros at j01/j10)
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + cfg.blur
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + cfg.blur
+
+    det = a * c - b * b
+    invertible = det > 0.0
+    det_safe = jnp.where(invertible, det, 1.0)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], -1)
+
+    mid = 0.5 * (a + c)
+    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = jnp.ceil(cfg.radius_factor * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+
+    u = fx * t[:, 0] * inv_z + camera.cx - 0.5
+    v = fy * t[:, 1] * inv_z + camera.cy - 0.5
+    means2d = jnp.stack([u, v], -1)
+
+    on_screen = (
+        (u + radius > 0.0) & (u - radius < camera.width - 1)
+        & (v + radius > 0.0) & (v - radius < camera.height - 1)
+    )
+    valid = g.alive & in_front & invertible & on_screen
+    radius = jnp.where(valid, radius, 0.0)
+
+    # SH color in the world frame from the camera origin.
+    dirs = g.means - camera.origin
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-8)
+    sh = jnp.concatenate([g.sh_dc[:, None, :], g.sh_rest], axis=1)
+    colors = eval_sh(sh_degree, sh, dirs)
+
+    return Projected(
+        means2d=means2d,
+        conics=conic,
+        depths=tz,
+        radii=radius,
+        colors=colors,
+        opacities=g.opacities(),
+        valid=valid,
+    )
