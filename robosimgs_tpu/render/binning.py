@@ -1,0 +1,133 @@
+"""Tile binning under static shapes (XLA sort-based, no atomics).
+
+The TPU replacement for gsplat's CUDA duplicate+radix-sort binning
+(SURVEY.md §3.4, hard part #1): every shape is static.
+
+  1. Each Gaussian may cover up to `max_tiles_per_gaussian` tiles of its
+     radius bbox (row-major enumeration; larger coverage is truncated
+     and counted in stats — never silent).
+  2. (tile_id, depth_rank, gaussian_id) triples are sorted
+     lexicographically with a single `lax.sort(num_keys=2)` — the TPU
+     analog of the CUDA radix sort over (tileID << 32 | depth) keys.
+  3. Per-tile ranges come from searchsorted over the sorted tile ids;
+     each tile keeps its closest `tile_capacity` Gaussians (fixed-size
+     (T, K) index matrix + counts). Overflow beyond capacity drops the
+     farthest entries and is counted in stats.
+
+Depth order inside a tile equals the global depth order restricted to
+the tile (rank comes from one global argsort), which is exactly the
+per-tile order the reference semantics require — and the same order the
+pure-jnp reference path uses, so the two paths agree bitwise in
+structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from robosimgs_tpu.render.config import RenderConfig
+from robosimgs_tpu.render.project import Projected
+from robosimgs_tpu.render.tiles import num_tiles, tile_bbox
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BinStats:
+    """Truncation accounting (all int32 scalars)."""
+
+    truncated_gaussians: jax.Array  # gaussians covering > max_tiles tiles
+    overflowed_tiles: jax.Array     # tiles with more than capacity entries
+    max_tile_count: jax.Array       # max entries wanted by any tile
+    total_pairs: jax.Array          # total (gaussian, tile) intersections
+
+
+def bin_gaussians(
+    proj: Projected, width: int, height: int, cfg: RenderConfig
+) -> Tuple[jax.Array, jax.Array, BinStats]:
+    """Returns (sel, counts, stats).
+
+    sel:    (T, K) int32 — per-tile Gaussian indices, front-to-back.
+    counts: (T,)   int32 — live entries per tile (<= K).
+    """
+    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
+    T = tiles_x * tiles_y
+    n = proj.means2d.shape[0]
+    M = cfg.max_tiles_per_gaussian
+    K = cfg.tile_capacity
+
+    tx0, ty0, tx1, ty1 = tile_bbox(proj.means2d, proj.radii, tiles_x, tiles_y, cfg.tile_size)
+    bw = (tx1 - tx0 + 1).clip(0)
+    bh = (ty1 - ty0 + 1).clip(0)
+    cover = bw * bh  # tiles covered by each gaussian
+
+    e = jnp.arange(M, dtype=jnp.int32)[None, :]            # (1, M)
+    bw_safe = jnp.maximum(bw, 1)[:, None]
+    row = e // bw_safe
+    col = e % bw_safe
+    valid_e = (e < cover[:, None]) & proj.valid[:, None]
+    tid = (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col)
+    tid = jnp.where(valid_e, tid, T).astype(jnp.int32)     # T = sentinel, sorts last
+
+    # Global front-to-back rank (same stable argsort as the reference path).
+    order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf))
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    flat_tid = tid.reshape(-1)
+    flat_rank = jnp.broadcast_to(rank[:, None], (n, M)).reshape(-1)
+    flat_gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, M)).reshape(-1)
+    s_tid, _, s_gid = jax.lax.sort((flat_tid, flat_rank, flat_gid), num_keys=2)
+
+    bounds = jnp.searchsorted(s_tid, jnp.arange(T + 1, dtype=jnp.int32))
+    starts = bounds[:-1]
+    full_counts = (bounds[1:] - starts).astype(jnp.int32)
+    counts = jnp.minimum(full_counts, K)
+
+    idx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    mask = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    sel = s_gid[jnp.clip(idx, 0, n * M - 1)]
+    sel = jnp.where(mask, sel, 0).astype(jnp.int32)
+
+    stats = BinStats(
+        truncated_gaussians=jnp.sum((cover > M) & proj.valid).astype(jnp.int32),
+        overflowed_tiles=jnp.sum(full_counts > K).astype(jnp.int32),
+        max_tile_count=jnp.max(full_counts).astype(jnp.int32),
+        total_pairs=jnp.sum(jnp.where(proj.valid, jnp.minimum(cover, M), 0)).astype(jnp.int32),
+    )
+    return sel, counts, stats
+
+
+def gather_tile_features(proj: Projected, sel: jax.Array, counts: jax.Array, cfg: RenderConfig):
+    """Gather per-tile feature blocks for the composite kernels.
+
+    Returns:
+      geom: (T, 8, K) — rows [mx, my, conic_a, conic_b, conic_c, opacity, 0, 0]
+      feat: (T, 8, K) — rows [r, g, b, depth, 1, 0, 0, 0]
+
+    Padding entries (beyond counts) get opacity 0, which makes them
+    inert in both forward and backward (alpha < alpha_min mask).
+    Differentiable: gradients flow back through the takes as
+    scatter-adds to the per-Gaussian arrays (the atomics-free
+    accumulation of SURVEY.md hard part #2).
+    """
+    K = sel.shape[1]
+    mask = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    mx = proj.means2d[sel, 0]
+    my = proj.means2d[sel, 1]
+    ca = proj.conics[sel, 0]
+    cb = proj.conics[sel, 1]
+    cc = proj.conics[sel, 2]
+    op = jnp.where(mask, proj.opacities[sel], 0.0)
+    zeros = jnp.zeros_like(mx)
+    geom = jnp.stack([mx, my, ca, cb, cc, op, zeros, zeros], axis=1)
+
+    r = proj.colors[sel, 0]
+    g = proj.colors[sel, 1]
+    b = proj.colors[sel, 2]
+    d = proj.depths[sel]
+    ones = jnp.ones_like(r)
+    feat = jnp.stack([r, g, b, d, ones, zeros, zeros, zeros], axis=1)
+    return geom, feat

@@ -1,0 +1,87 @@
+"""Tile-binned rasterization path (XLA binning + Pallas compositing).
+
+Pipeline (SURVEY.md §3.4): project (jnp, autodiff) -> bin (XLA sort,
+static shapes) -> gather per-tile features (differentiable takes) ->
+per-tile composite (Pallas kernels wrapped in a custom_vjp) -> untile.
+
+Per-Gaussian gradient accumulation happens in the gather's transpose
+(XLA scatter-add over the (T, K) index matrix) — the atomics-free
+equivalent of gsplat's atomicAdd accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from robosimgs_tpu.render.binning import bin_gaussians, gather_tile_features
+from robosimgs_tpu.render.config import RenderConfig
+from robosimgs_tpu.render.gathered import composite_gathered, untile
+from robosimgs_tpu.render.pallas_kernels import (composite_bwd_pallas,
+                                                composite_fwd_pallas)
+from robosimgs_tpu.render.project import Projected
+from robosimgs_tpu.render.tiles import num_tiles
+
+
+@functools.lru_cache(maxsize=None)
+def _make_compositor(tiles_x: int, cfg: RenderConfig, interpret: bool):
+    @jax.custom_vjp
+    def comp(geom, feat, counts):
+        return composite_fwd_pallas(
+            geom, feat, counts, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
+
+    def fwd(geom, feat, counts):
+        return comp(geom, feat, counts), (geom, feat, counts)
+
+    def bwd(res, gout):
+        geom, feat, counts = res
+        dgeom, dfeat = composite_bwd_pallas(
+            geom, feat, counts, gout, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
+        return dgeom, dfeat, None
+
+    comp.defvjp(fwd, bwd)
+    return comp
+
+
+def composite_tiled(
+    proj: Projected,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    background: Optional[jax.Array] = None,
+    compositor: str = "pallas",
+    return_stats: bool = False,
+) -> Dict[str, jax.Array]:
+    """Composite projected splats via the tile-binned path.
+
+    compositor: "pallas" (TPU kernels; interpreter on CPU) or "jnp"
+    (gathered-tile jnp oracle with autodiff backward).
+    """
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
+
+    sel, counts, stats = bin_gaussians(proj, width, height, cfg)
+    sel = jax.lax.stop_gradient(sel)
+    counts = jax.lax.stop_gradient(counts)
+    geom, feat = gather_tile_features(proj, sel, counts, cfg)
+
+    if compositor == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        comp = _make_compositor(tiles_x, cfg, interpret)
+        out_tiles = comp(geom, feat, counts)
+    elif compositor == "jnp":
+        out_tiles = composite_gathered(geom, feat, counts, tiles_x, cfg)
+    else:
+        raise ValueError(f"unknown compositor {compositor!r}")
+
+    img = untile(out_tiles, tiles_x, tiles_y, width, height, cfg.tile_size)
+    acc_a = img[..., 4]
+    rgb = img[..., :3] + (1.0 - acc_a)[..., None] * background
+    out = {"rgb": rgb, "alpha": acc_a, "depth": img[..., 3]}
+    if return_stats:
+        out["stats"] = stats
+    return out

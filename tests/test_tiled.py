@@ -1,0 +1,152 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robosimgs_tpu.core.camera import Camera
+from robosimgs_tpu.core.types import Gaussians
+from robosimgs_tpu.render.binning import bin_gaussians, gather_tile_features
+from robosimgs_tpu.render.config import RenderConfig
+from robosimgs_tpu.render.project import project
+from robosimgs_tpu.render.rasterize import rasterize
+from robosimgs_tpu.render.tiled import composite_tiled
+
+CFG = RenderConfig(tile_capacity=256, max_tiles_per_gaussian=64, ref_gaussian_chunk=64)
+
+
+def make_camera(w=64, h=64, dist=4.0):
+    return Camera.look_at([dist, 0.3, 0.8], [0, 0, 0], [0, 0, 1], 60.0, w, h)
+
+
+def make_scene(n=150, seed=0):
+    return Gaussians.random(jax.random.PRNGKey(seed), n, sh_degree=1)
+
+
+def test_binning_covers_all_pairs():
+    cam = make_camera(64, 48)
+    g = make_scene(100, seed=2)
+    proj = project(g, cam, CFG)
+    sel, counts, stats = jax.device_get(bin_gaussians(proj, cam.width, cam.height, CFG))
+    assert stats.truncated_gaussians == 0
+    assert stats.overflowed_tiles == 0
+    assert counts.sum() == stats.total_pairs
+    # cross-check against brute-force tile bboxes
+    from robosimgs_tpu.render.tiles import num_tiles, tile_bbox
+    tiles_x, tiles_y = num_tiles(cam.width, cam.height, CFG.tile_size)
+    tx0, ty0, tx1, ty1 = jax.device_get(
+        tile_bbox(proj.means2d, proj.radii, tiles_x, tiles_y, CFG.tile_size))
+    valid = np.asarray(proj.valid)
+    depths = np.asarray(proj.depths)
+    for t in range(tiles_x * tiles_y):
+        tx, ty = t % tiles_x, t // tiles_x
+        expected = [i for i in range(100)
+                    if valid[i] and tx0[i] <= tx <= tx1[i] and ty0[i] <= ty <= ty1[i]]
+        expected.sort(key=lambda i: depths[i])
+        got = list(sel[t, :counts[t]])
+        assert got == expected, f"tile {t}: {got} != {expected}"
+
+
+def test_binning_capacity_truncates_farthest():
+    cfg = RenderConfig(tile_capacity=4, max_tiles_per_gaussian=64)
+    cam = make_camera(16, 16)
+    g = make_scene(50, seed=1)
+    proj = project(g, cam, cfg)
+    sel, counts, stats = jax.device_get(bin_gaussians(proj, cam.width, cam.height, cfg))
+    assert (counts <= 4).all()
+    depths = np.asarray(proj.depths)
+    for t in range(sel.shape[0]):
+        d = depths[sel[t, :counts[t]]]
+        assert (np.diff(d) >= 0).all()  # front-to-back kept
+
+
+def test_tiled_jnp_matches_reference():
+    cam = make_camera(64, 48)
+    g = make_scene(150)
+    out_ref = rasterize(g, cam, CFG, impl="reference")
+    proj = project(g, cam, CFG)
+    out_t = composite_tiled(proj, cam.width, cam.height, CFG, compositor="jnp",
+                            return_stats=True)
+    assert int(out_t["stats"].overflowed_tiles) == 0
+    np.testing.assert_allclose(np.asarray(out_t["rgb"]), np.asarray(out_ref["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_t["alpha"]), np.asarray(out_ref["alpha"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_t["depth"]), np.asarray(out_ref["depth"]), atol=2e-4)
+
+
+def test_pallas_fwd_matches_jnp_oracle():
+    cam = make_camera(64, 48)
+    g = make_scene(150, seed=4)
+    proj = project(g, cam, CFG)
+    out_j = composite_tiled(proj, cam.width, cam.height, CFG, compositor="jnp")
+    out_p = composite_tiled(proj, cam.width, cam.height, CFG, compositor="pallas")
+    np.testing.assert_allclose(np.asarray(out_p["rgb"]), np.asarray(out_j["rgb"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p["alpha"]), np.asarray(out_j["alpha"]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_bwd_matches_jnp_autodiff():
+    """Hand-derived Pallas VJP vs autodiff of the identical jnp math."""
+    cam = make_camera(48, 32)
+    g = make_scene(80, seed=5)
+    proj = project(g, cam, CFG)
+    sel, counts, _ = bin_gaussians(proj, cam.width, cam.height, CFG)
+    geom, feat = gather_tile_features(proj, sel, counts, CFG)
+    from robosimgs_tpu.render.gathered import composite_gathered
+    from robosimgs_tpu.render.pallas_kernels import composite_bwd_pallas
+    from robosimgs_tpu.render.tiles import num_tiles
+    tiles_x, _ = num_tiles(cam.width, cam.height, CFG.tile_size)
+
+    key = jax.random.PRNGKey(0)
+    gout = jax.random.normal(key, (geom.shape[0], 8, CFG.tile_size ** 2))
+    # zero cotangent on the unused output rows (5..7) like real losses do
+    gout = gout.at[:, 5:, :].set(0.0)
+
+    def f(geom, feat):
+        return jnp.vdot(composite_gathered(geom, feat, counts, tiles_x, CFG), gout)
+
+    dgeom_ad, dfeat_ad = jax.grad(f, argnums=(0, 1))(geom, feat)
+    dgeom_k, dfeat_k = composite_bwd_pallas(
+        geom, feat, counts, gout, tiles_x=tiles_x, cfg=CFG, interpret=True)
+
+    # feature rows 4..7 of feat are synthetic (ones/zeros) — not compared.
+    np.testing.assert_allclose(np.asarray(dfeat_k)[:, :4], np.asarray(dfeat_ad)[:, :4],
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dgeom_k)[:, :6], np.asarray(dgeom_ad)[:, :6],
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_tiled_end_to_end_grad_matches_reference():
+    """Full-pipeline gradients (through projection) pallas vs reference."""
+    cam = make_camera(48, 32)
+    g = make_scene(60, seed=6)
+    target = jnp.full((32, 48, 3), 0.4)
+
+    names = ["means", "quats", "log_scales", "logit_opacities", "sh_dc"]
+
+    def loss(params, impl, compositor=None):
+        gg = g.replace(**params)
+        if impl == "reference":
+            out = rasterize(gg, cam, CFG, impl="reference")
+        else:
+            out = composite_tiled(project(gg, cam, CFG), cam.width, cam.height, CFG,
+                                  compositor=compositor)
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    params = {k: getattr(g, k) for k in names}
+    grads_ref = jax.grad(lambda p: loss(p, "reference"))(params)
+    grads_pal = jax.grad(lambda p: loss(p, "tiled", "pallas"))(params)
+    for name in names:
+        a = np.asarray(grads_ref[name])
+        b = np.asarray(grads_pal[name])
+        np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("wh", [(40, 24), (64, 64)])
+def test_tiled_odd_sizes(wh):
+    w, h = wh
+    cam = make_camera(w, h)
+    g = make_scene(80, seed=7)
+    proj = project(g, cam, CFG)
+    out = composite_tiled(proj, w, h, CFG, compositor="pallas")
+    assert out["rgb"].shape == (h, w, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
