@@ -1,0 +1,98 @@
+"""Benchmark: 3DGS train-step throughput on the real TPU chip.
+
+Workload = BASELINE.md staged config 1 scaled up: N Gaussians rendered
+at RES x RES, full training iteration (project -> bin -> Pallas composite
+fwd -> L1+SSIM -> Pallas bwd -> Adam). Headline value is Gaussians
+rasterized per second per chip (alive Gaussians x train iters/sec) —
+the BASELINE.json metric.
+
+The reference (Maxwell-Zhao/RoboSimGS) publishes no benchmark numbers
+(BASELINE.md), so vs_baseline is the ratio against the round-1 recorded
+value of this same benchmark (BENCH_R1 below) — i.e. round 1 defines
+the baseline at 1.0 and later rounds must beat it.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BENCH_R1 = 1_252_863.8  # round-1 recorded value (TPU v5e, 2026-08-17)
+
+N_GAUSSIANS = 100_000
+RES = 256
+ITERS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from robosimgs_tpu.core.camera import Camera
+    from robosimgs_tpu.core.types import Gaussians
+    from robosimgs_tpu.render.config import RenderConfig
+    from robosimgs_tpu.render.project import project
+    from robosimgs_tpu.render.tiled import composite_tiled
+    from robosimgs_tpu.train.losses import photometric_loss
+    from robosimgs_tpu.train.optim import float_params, make_optimizer
+
+    err = sys.stderr
+    print(f"backend={jax.default_backend()} devices={jax.devices()}", file=err)
+
+    cfg = RenderConfig(tile_capacity=1024, max_tiles_per_gaussian=64)
+    cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, RES, RES)
+    g = Gaussians.random(jax.random.PRNGKey(0), N_GAUSSIANS, sh_degree=3,
+                         extent=1.5)
+    target = jnp.zeros((RES, RES, 3))
+    optimizer = make_optimizer()
+    params = float_params(g)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state):
+        def loss_fn(p):
+            gg = g.replace(**p)
+            out = composite_tiled(project(gg, cam, cfg), RES, RES, cfg)
+            return photometric_loss(out["rgb"], target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    print(f"compile+first: {time.time()-t0:.1f}s loss={float(loss):.5f}", file=err)
+
+    # warmup
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / ITERS
+    iters_per_sec = 1.0 / dt
+    value = N_GAUSSIANS * iters_per_sec
+    print(f"train step: {dt*1000:.2f} ms/iter ({iters_per_sec:.2f} it/s) "
+          f"@ {N_GAUSSIANS} gaussians, {RES}x{RES}", file=err)
+
+    vs = value / BENCH_R1 if BENCH_R1 else 1.0
+    print(json.dumps({
+        "metric": "gaussians_rasterized_per_sec_per_chip_fwd_bwd",
+        "value": round(value, 1),
+        "unit": "gaussians/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

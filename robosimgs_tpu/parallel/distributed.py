@@ -1,0 +1,153 @@
+"""Sharded training step: DP over cameras x tile-sharded rasterization.
+
+The pod-slice scaling design (SURVEY.md §2.3): the 'data' mesh axis
+shards the camera batch (gradients all-reduced across it — GSPMD emits
+the collective, overlapped with backward by the XLA scheduler); the
+'tile' axis shards image rows of each frame (the SP/CP analog), with
+Gaussian parameters replicated and each rank rasterizing only its row
+strip through a principal-point-shifted crop camera. The loss is
+computed on the all-gathered full frame (so SSIM windows crossing strip
+boundaries are exact); the gather's transpose routes pixel cotangents
+back to the owning rank, and per-Gaussian gradients are psum'd over
+'tile' + pmean'd over 'data'.
+
+Written with shard_map (not vmap) so the Pallas per-tile kernels run
+unbatched on every device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from robosimgs_tpu.core.camera import Camera
+from robosimgs_tpu.train.densify import DensifyState
+from robosimgs_tpu.train.losses import photometric_loss, psnr
+from robosimgs_tpu.train.optim import float_params, make_optimizer
+from robosimgs_tpu.train.trainer import TrainConfig, TrainState, _sh_mask
+
+
+def stack_cameras(cams: List[Camera]) -> Camera:
+    """Stack cameras into one batched Camera pytree (equal resolutions)."""
+    assert len({(c.width, c.height) for c in cams}) == 1
+    arrays = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    return arrays
+
+
+def _index_camera(cam_batch: Camera, i) -> Camera:
+    return jax.tree_util.tree_map(lambda x: x[i], cam_batch)
+
+
+def _crop_camera_rows(cam: Camera, row0, rows: int) -> Camera:
+    """Camera viewing only rows [row0, row0+rows): shift cy."""
+    return dataclasses.replace(cam, cy=cam.cy - row0, height=rows)
+
+
+def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, impl: str = "tiled",
+                       return_grads: bool = False) -> Callable:
+    """Returns train_step(state, cam_batch, targets) -> (state, metrics).
+
+    cam_batch: batched Camera with leading dim B (B % n_data == 0);
+    targets: (B, H, W, 3). Image height must divide n_tile.
+    """
+    optimizer = make_optimizer(cfg.optim, cfg.scene_extent)
+    n_data = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+
+    from robosimgs_tpu.render.project import project
+    from robosimgs_tpu.render.reference import composite_reference
+    from robosimgs_tpu.render.tiled import composite_tiled
+
+    def per_device(state: TrainState, cam_batch: Camera, targets: jax.Array):
+        g = state.gaussians
+        mask = _sh_mask(state.step, cfg.sh_warmup_every, g.sh_rest.shape[1])
+        tile_rank = jax.lax.axis_index("tile")
+        b_local = targets.shape[0]
+        H = cam_batch.height  # static full height
+        rows = H // n_tile
+        bg = jnp.asarray(cfg.background, jnp.float32)
+
+        def render_loss_one(params, offset, cam: Camera, target):
+            p = g.replace(**{**params, "sh_rest": params["sh_rest"] * mask})
+            crop = _crop_camera_rows(cam, tile_rank * rows, rows)
+            proj = project(p, crop, cfg.render, means2d_offset=offset,
+                           tan_half_fov=cam.tan_half_fov)
+            if impl == "reference":
+                out = composite_reference(proj, crop.width, rows, cfg.render, bg)
+            else:
+                out = composite_tiled(proj, crop.width, rows, cfg.render, bg)
+            rgb_full = jax.lax.all_gather(out["rgb"], "tile", axis=0, tiled=True)
+            loss = photometric_loss(rgb_full, target, cfg.ssim_lambda)
+            return loss, (rgb_full, proj.radii, proj.valid)
+
+        def loss_fn(params, offset):
+            def one(i, acc):
+                cam = _index_camera(cam_batch, i)
+                (l, aux) = render_loss_one(params, offset, cam, targets[i])
+                loss_acc, psnr_acc, radii_acc, valid_acc = acc
+                return (loss_acc + l / b_local,
+                        psnr_acc + psnr(aux[0], targets[i]) / b_local,
+                        jnp.maximum(radii_acc, aux[1]),
+                        valid_acc | aux[2])
+
+            init = (jnp.float32(0), jnp.float32(0),
+                    jnp.zeros((g.capacity,), jnp.float32),
+                    jnp.zeros((g.capacity,), bool))
+            loss, psnr_v, radii, valid = jax.lax.fori_loop(0, b_local, one, init)
+            return loss, (psnr_v, radii, valid)
+
+        params = float_params(g)
+        offset = jnp.zeros((g.capacity, 2), jnp.float32)
+        (loss, (psnr_v, radii, valid)), (p_grads, offset_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, offset)
+
+        # Gradient all-reduce. Over 'tile' the reduction is a *mean*, not
+        # a sum: the loss is computed redundantly on every tile rank from
+        # the all-gathered frame, and all_gather's transpose already sums
+        # the identical per-rank cotangents (reduce-scatter), so each
+        # rank's grads carry an extra n_tile factor. Over 'data' camera
+        # shards are averaged (the global loss is the batch mean).
+        p_grads = jax.lax.pmean(p_grads, "tile")
+        p_grads = jax.lax.pmean(p_grads, "data")
+        offset_grad = jax.lax.pmean(offset_grad, "tile")
+        offset_grad = jax.lax.pmean(offset_grad, "data")
+        radii = jax.lax.pmax(jax.lax.pmax(radii, "tile"), "data")
+        valid = jax.lax.psum(valid.astype(jnp.int32), "tile") > 0
+        valid = jax.lax.psum(valid.astype(jnp.int32), "data") > 0
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "tile"), "data")
+        psnr_v = jax.lax.pmean(jax.lax.pmean(psnr_v, "tile"), "data")
+
+        from robosimgs_tpu.train.densify import update_stats
+        dstate = update_stats(state.densify_state, offset_grad, radii, valid,
+                              cam_batch.width, H)
+
+        updates, opt_state = optimizer.update(p_grads, state.opt_state, params)
+        import optax
+        new_params = optax.apply_updates(params, updates)
+        new_g = g.replace(**new_params)
+        new_state = TrainState(gaussians=new_g, opt_state=opt_state,
+                               densify_state=dstate, step=state.step + 1,
+                               key=state.key)
+        metrics = {"loss": loss, "psnr": psnr_v, "n_alive": new_g.num_alive}
+        if return_grads:
+            metrics["grads"] = p_grads
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, cam_batch, targets):
+        return sharded(state, cam_batch, targets)
+
+    return train_step

@@ -51,7 +51,17 @@ def project(
     camera: Camera,
     cfg: RenderConfig = RenderConfig(),
     sh_degree: int | None = None,
+    means2d_offset: jax.Array | None = None,
+    tan_half_fov: tuple | None = None,
 ) -> Projected:
+    """means2d_offset: optional (N, 2) zeros whose gradient exposes the
+    per-Gaussian screen-space gradient (the densification signal the
+    reference's gsplat trainer reads from its CUDA kernel).
+
+    tan_half_fov: optional (tan_fx, tan_fy) override for the Jacobian
+    clamping limits — tile-sharded rendering passes the FULL frame's
+    FOV here so a row-strip crop camera projects identically to the
+    uncropped one."""
     g = gaussians
     if sh_degree is None:
         sh_degree = g.sh_degree
@@ -71,7 +81,7 @@ def project(
 
     # Perspective Jacobian with the reference's 1.3x-FOV clamping of the
     # projected center (stabilizes far-off-screen Gaussians).
-    tan_fx, tan_fy = camera.tan_half_fov
+    tan_fx, tan_fy = tan_half_fov if tan_half_fov is not None else camera.tan_half_fov
     lim_x = 1.3 * tan_fx
     lim_y = 1.3 * tan_fy
     txz = jnp.clip(t[:, 0] / tz_safe, -lim_x, lim_x)
@@ -103,6 +113,8 @@ def project(
     u = fx * t[:, 0] * inv_z + camera.cx - 0.5
     v = fy * t[:, 1] * inv_z + camera.cy - 0.5
     means2d = jnp.stack([u, v], -1)
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
 
     on_screen = (
         (u + radius > 0.0) & (u - radius < camera.width - 1)

@@ -1,0 +1,126 @@
+"""Datasets: Nerfstudio transforms.json scenes and synthetic scenes.
+
+The transforms.json / dataparser_transforms.json contract is the
+reference pipeline's reconstruction interface
+(`/root/reference/Articulation/utils/nerf2physic_utils.py:26-81`):
+global or per-frame fl_x/fl_y/cx/cy intrinsics, per-frame 4x4
+`transform_matrix` in OpenGL convention, and an optional dataparser
+transform+scale mapping normalized scene coordinates back to metric
+world coordinates. Fixes (does not reproduce) the reference's latent
+dead-import defect in load_ns_point_cloud (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from robosimgs_tpu.core.camera import Camera
+from robosimgs_tpu.core.types import Gaussians
+
+
+@dataclasses.dataclass
+class Frame:
+    camera: Camera
+    image_path: Optional[str] = None
+    image: Optional[np.ndarray] = None  # (H, W, 3) float32 in [0,1]
+
+    def load(self, background: Sequence[float] = (0.0, 0.0, 0.0)) -> np.ndarray:
+        if self.image is not None:
+            return self.image
+        from PIL import Image
+
+        img = Image.open(self.image_path)
+        arr = np.asarray(img).astype(np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        if arr.shape[-1] == 4:
+            a = arr[..., 3:4]
+            arr = arr[..., :3] * a + np.asarray(background, np.float32) * (1 - a)
+        self.image = arr[..., :3]
+        return self.image
+
+
+def parse_transforms_json(path: str, downscale: int = 1) -> List[Frame]:
+    """Parse a Nerfstudio/instant-ngp transforms.json into Frames."""
+    with open(path) as f:
+        meta = json.load(f)
+    root = os.path.dirname(os.path.abspath(path))
+    frames = []
+    for fr in meta["frames"]:
+        def get(key, default=None):
+            return fr.get(key, meta.get(key, default))
+
+        fx, fy = get("fl_x"), get("fl_y")
+        cx, cy = get("cx"), get("cy")
+        w, h = int(get("w", 2 * cx)), int(get("h", 2 * cy))
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        c2w_gl = np.asarray(fr["transform_matrix"], np.float32)
+        cam = Camera.from_opengl(K, c2w_gl, w, h)
+        if downscale > 1:
+            cam = cam.resized(w // downscale, h // downscale)
+        img_path = fr.get("file_path")
+        if img_path is not None:
+            img_path = os.path.join(root, img_path)
+            if not os.path.splitext(img_path)[1]:
+                img_path += ".png"
+        frames.append(Frame(camera=cam, image_path=img_path))
+    return frames
+
+
+def parse_dataparser_transforms(path: str) -> Tuple[np.ndarray, float]:
+    """Returns (transform (3,4), scale): normalized = scale * (T @ world)."""
+    with open(path) as f:
+        meta = json.load(f)
+    return np.asarray(meta["transform"], np.float32)[:3, :4], float(meta["scale"])
+
+
+def denormalize_points(points: np.ndarray, transform: np.ndarray, scale: float) -> np.ndarray:
+    """Map Nerfstudio-normalized points back to metric world coordinates
+    (inverse of the dataparser transform, the de-normalization step of
+    nerf2physic_utils.load_ns_point_cloud)."""
+    p = points / scale
+    R, t = transform[:, :3], transform[:, 3]
+    return (p - t) @ R  # R orthonormal: inverse = transpose applied on the right
+
+
+def train_eval_split(frames: List[Frame], eval_every: int = 8):
+    train = [f for i, f in enumerate(frames) if i % eval_every != 0]
+    eval_ = [f for i, f in enumerate(frames) if i % eval_every == 0]
+    return train, eval_
+
+
+# -- synthetic scenes (tests / benchmarks) --------------------------------
+
+
+def synthetic_scene(
+    seed: int,
+    n_gaussians: int,
+    n_cameras: int,
+    width: int,
+    height: int,
+    extent: float = 1.0,
+    sh_degree: int = 2,
+    camera_distance: float = 4.0,
+) -> Tuple[Gaussians, List[Frame]]:
+    """A random GT Gaussian scene + ring of cameras with rendered targets.
+
+    Targets are rendered with the reference path lazily by the caller
+    (so the same scene can be used at any config).
+    """
+    import jax
+
+    gt = Gaussians.random(jax.random.PRNGKey(seed), n_gaussians,
+                          sh_degree=sh_degree, extent=extent)
+    frames = []
+    for i in range(n_cameras):
+        ang = 2 * np.pi * i / n_cameras
+        eye = [camera_distance * np.cos(ang), camera_distance * np.sin(ang),
+               1.0 + 0.5 * np.sin(3 * ang)]
+        cam = Camera.look_at(eye, [0, 0, 0], [0, 0, 1], 60.0, width, height)
+        frames.append(Frame(camera=cam))
+    return gt, frames

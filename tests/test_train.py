@@ -1,0 +1,119 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robosimgs_tpu.core.types import Gaussians
+from robosimgs_tpu.render.config import RenderConfig
+from robosimgs_tpu.render.rasterize import rasterize
+from robosimgs_tpu.train.data import Frame, synthetic_scene, train_eval_split
+from robosimgs_tpu.train.densify import (DensifyConfig, DensifyState,
+                                         densify_and_prune, reset_opacities,
+                                         update_stats)
+from robosimgs_tpu.train.losses import l1_loss, photometric_loss, psnr, ssim
+from robosimgs_tpu.train.trainer import TrainConfig, Trainer
+
+
+def test_ssim_identity():
+    img = jnp.asarray(np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32))
+    assert float(ssim(img, img)) > 0.999
+
+
+def test_ssim_decreases_with_noise():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    noisy = img + 0.2 * jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    assert float(ssim(img, noisy)) < float(ssim(img, img)) - 0.05
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.full((8, 8, 3), 0.1)
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-3)
+
+
+def test_densify_clone_and_split():
+    g = Gaussians.random(jax.random.PRNGKey(0), 20, sh_degree=0, capacity=64)
+    state = DensifyState.zero(64)
+    # fake stats: high grads on gaussians 0 (small -> clone) and 1 (big -> split)
+    accum = jnp.zeros(64).at[0].set(1.0).at[1].set(1.0)
+    count = jnp.zeros(64, jnp.int32).at[:20].set(1)
+    g = g.replace(log_scales=g.log_scales.at[0].set(jnp.log(1e-4)).at[1].set(jnp.log(0.5)))
+    state = dataclasses.replace(state, grad_accum=accum, count=count)
+    cfg = DensifyConfig(grad_threshold=0.5, prune_opacity=0.0, prune_scale3d_max=0.0)
+    n0 = int(g.num_alive)
+    g2, state2, spawn = densify_and_prune(g, state, jax.random.PRNGKey(1), cfg, 1.0)
+    assert int(g2.num_alive) == n0 + 2
+    assert int(spawn.sum()) >= 2
+    # split shrank scales of source
+    assert float(g2.log_scales[1].max()) < float(jnp.log(0.5)) + 1e-5
+    # stats reset
+    assert float(state2.grad_accum.sum()) == 0.0
+
+
+def test_densify_prune_kills_transparent():
+    g = Gaussians.random(jax.random.PRNGKey(0), 20, sh_degree=0, capacity=32)
+    g = g.replace(logit_opacities=g.logit_opacities.at[5].set(-12.0))
+    state = DensifyState.zero(32)
+    g2, _, _ = densify_and_prune(g, state, jax.random.PRNGKey(1),
+                                 DensifyConfig(), 1.0)
+    assert not bool(g2.alive[5])
+    assert int(g2.num_alive) == int(g.num_alive) - 1
+
+
+def test_densify_saturation_graceful():
+    g = Gaussians.random(jax.random.PRNGKey(0), 30, sh_degree=0, capacity=32)
+    state = DensifyState.zero(32)
+    accum = jnp.where(g.alive, 1.0, 0.0)
+    count = jnp.ones(32, jnp.int32)
+    state = dataclasses.replace(state, grad_accum=accum, count=count)
+    cfg = DensifyConfig(grad_threshold=0.1, prune_opacity=0.0)
+    g2, _, _ = densify_and_prune(g, state, jax.random.PRNGKey(1), cfg, 1.0)
+    assert int(g2.num_alive) == 32  # capped at capacity, no error
+
+
+def test_reset_opacities():
+    g = Gaussians.random(jax.random.PRNGKey(0), 10, sh_degree=0)
+    g2 = reset_opacities(g, 0.01)
+    assert float(g2.opacities().max()) <= 0.011
+
+
+def test_training_converges_synthetic():
+    """Minimum end-to-end slice (BASELINE config 1, shrunk): fit a synthetic
+    scene; PSNR must improve substantially over initialization."""
+    gt, frames = synthetic_scene(seed=0, n_gaussians=40, n_cameras=6,
+                                 width=48, height=48, sh_degree=1)
+    cfg = TrainConfig(
+        iterations=120,
+        render=RenderConfig(ref_gaussian_chunk=64, tile_capacity=128),
+        densify_from=10_000,  # off for this test
+        opacity_reset_interval=10_000,
+        scene_extent=1.0,
+        impl="reference",
+        log_every=40,
+    )
+    for f in frames:
+        f.image = np.asarray(
+            rasterize(gt, f.camera, cfg.render, impl="reference")["rgb"])
+
+    # init: GT means jittered, colors/opacity/scales re-initialized
+    rng = np.random.default_rng(1)
+    init = Gaussians.from_points(
+        np.asarray(gt.means) + rng.normal(scale=0.02, size=(40, 3)).astype(np.float32),
+        colors=np.full((40, 3), 0.5, np.float32),
+        sh_degree=1, init_scale=np.full((40,), 0.05, np.float32))
+
+    trainer = Trainer(cfg, init, frames)
+    psnr0 = trainer.eval_psnr()
+    trainer.run(progress=False)
+    psnr1 = trainer.eval_psnr()
+    assert psnr1 > psnr0 + 3.0, f"psnr {psnr0:.2f} -> {psnr1:.2f}"
+    # loss decreased
+    assert trainer.history[-1]["loss"] < trainer.history[0]["loss"]
+
+
+def test_train_eval_split():
+    frames = [Frame(camera=None) for _ in range(16)]
+    tr, ev = train_eval_split(frames, 8)
+    assert len(tr) == 14 and len(ev) == 2
