@@ -1,0 +1,125 @@
+"""Articulation inference CLI: mesh -> segmented parts -> URDF.
+
+The counterpart of the reference driver
+(`/root/reference/Articulation/articulation_inference.py:16-245`), made
+headless-scriptable: part-selection points come from --points (3D
+coords) or --vertex-indices instead of an Open3D GUI; model decisions
+(view/mask choice, part naming, URDF parameters) use an MLLM when
+--mllm openai is configured, otherwise scripted/default values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Mesh -> part segmentation -> URDF")
+    p.add_argument("input", help="input mesh (.glb/.obj/.ply)")
+    p.add_argument("--output", help="output dir (default <input>_output)")
+    p.add_argument("--points", type=float, nargs="+",
+                   help="two 3D points: x1 y1 z1 x2 y2 z2")
+    p.add_argument("--vertex-indices", type=int, nargs=2,
+                   help="two vertex indices (alternative to --points)")
+    p.add_argument("--part-names", nargs=2, default=None,
+                   help='e.g. --part-names "box lid" "box body"')
+    p.add_argument("--best-view", default=None,
+                   help="skip view selection (front/back/left/right/top/bottom)")
+    p.add_argument("--resolution", type=int, default=800)
+    p.add_argument("--mllm", default="none", choices=["none", "openai"])
+    p.add_argument("--mllm-model", default=os.environ.get(
+        "OPENAI_GPT_MODEL", "gpt-4-turbo"))
+    p.add_argument("--skip-segmentation", action="store_true",
+                   help="reuse part_*.glb from a previous run")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+
+    from robosimgs_tpu.artic.config import ArticConfig
+    from robosimgs_tpu.artic.pipeline import (ArticulationPipeline,
+                                              identify_lid_and_body)
+    from robosimgs_tpu.artic.segmentation import Segmenter
+    from robosimgs_tpu.utils.meshio import load_mesh
+
+    cfg = ArticConfig(input_file=args.input, output_dir=args.output,
+                      render_resolution=args.resolution)
+    mllm = None
+    if args.mllm == "openai":
+        from robosimgs_tpu.artic.mllm import OpenAIChat
+        mllm = OpenAIChat(model=args.mllm_model)
+
+    mesh = load_mesh(args.input)
+    print(f"loaded {args.input}: {mesh.vertices.shape[0]} verts, "
+          f"{mesh.faces.shape[0]} faces")
+
+    if args.skip_segmentation:
+        parts = {}
+        for f in os.listdir(cfg.segmentation_dir):
+            if f.startswith("part_") and f.endswith(".glb"):
+                color = f[len("part_"):-len(".glb")]
+                parts[color] = load_mesh(os.path.join(cfg.segmentation_dir, f))
+        prompts_path = os.path.join(cfg.segmentation_dir, "clip_prompts.json")
+        prompts = (json.load(open(prompts_path))
+                   if os.path.exists(prompts_path)
+                   else {c: c for c in parts})
+    else:
+        if args.vertex_indices:
+            points = list(args.vertex_indices)
+        elif args.points and len(args.points) == 6:
+            points = [args.points[:3], args.points[3:]]
+        else:
+            raise SystemExit("provide --points x1 y1 z1 x2 y2 z2 "
+                             "or --vertex-indices i j")
+        # dilation is specified at the reference's 800px scale
+        dilate = max(1, round(cfg.mask_dilate_px * args.resolution / 800))
+        seg = Segmenter(mesh, out_dir=cfg.segmentation_dir,
+                        mllm=mllm, resolution=args.resolution,
+                        mask_dilate_px=dilate)
+        selected = seg.select_points(points)
+        views = seg.render_views(selected)
+        view = seg.choose_best_view(views, args.best_view)
+        camera = views[view]["camera"]
+        prompts = seg.name_parts(views, view, args.part_names)
+
+        # Geometric 3D split by nearest seed point — the offline default
+        # (plug a SAM-style MaskGenerator into Segmenter for mask-driven
+        # splits). Mask artifacts are derived from the split for parity
+        # with the reference's mask_{COLOR}_{view}.npy contract.
+        from robosimgs_tpu.artic.segmentation import (mask_from_part,
+                                                      split_mesh_by_points)
+        from robosimgs_tpu.utils.meshio import save_mesh
+        seeds = np.asarray([s["position"] for s in selected], np.float32)
+        part_a, part_b, _ = split_mesh_by_points(mesh, seeds)
+        colors = list(prompts)
+        parts = {colors[0]: part_a, colors[1]: part_b}
+        for color, part in parts.items():
+            np.save(os.path.join(cfg.segmentation_dir,
+                                 f"mask_{color}_{view}.npy"),
+                    mask_from_part(part, camera))
+            save_mesh(os.path.join(cfg.segmentation_dir,
+                                   f"part_{color}.glb"), part)
+            name = prompts[color].replace(" ", "_")
+            save_mesh(os.path.join(cfg.parts_dir, f"{name}.glb"), part)
+
+    movable_key, base_key = identify_lid_and_body(prompts)
+    print(f"movable part: {prompts[movable_key]!r} ({movable_key}); "
+          f"base: {prompts[base_key]!r} ({base_key})")
+
+    pipe = ArticulationPipeline(parts[movable_key], parts[base_key], mllm=mllm)
+    meta = pipe.generate(cfg.urdf_dir,
+                         movable_name=prompts[movable_key].split()[-1],
+                         base_name=prompts[base_key].split()[-1])
+    print(f"URDF written: {meta['urdf_path']}")
+    print(f"hinge axis {meta['hinge']['axis']} "
+          f"(confidence {meta['hinge']['axis_confidence']:.3f})")
+    print("Next: validate with "
+          f"`python -m robosimgs_tpu.cli.validate_urdf {meta['urdf_path']}`")
+
+
+if __name__ == "__main__":
+    main()

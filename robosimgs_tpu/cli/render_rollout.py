@@ -1,0 +1,84 @@
+"""Rollout rendering CLI: trained scene + URDF objects + trajectory ->
+multi-camera frames (the data-generation render stage,
+`/root/reference/README.md:84-85`, SURVEY.md §3.4)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Render multi-camera rollout frames")
+    p.add_argument("--scene", required=True, help="background .ply (3DGS)")
+    p.add_argument("--urdf", action="append", default=[],
+                   help="articulated object URDF (repeatable)")
+    p.add_argument("--trajectory", default=None,
+                   help="npy/json (T, dof) joint trajectory; default: "
+                        "open-close sweep")
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--cameras", default=None,
+                   help="json list of {eye, target, up, fov, width, height}")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--n-cameras", type=int, default=4)
+    p.add_argument("--output", required=True, help="output dir (png frames)")
+    p.add_argument("--impl", default="auto")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+    from PIL import Image
+
+    from robosimgs_tpu.core.camera import Camera
+    from robosimgs_tpu.scenegen.rollout import (ArticulatedObject,
+                                                open_close_trajectory,
+                                                render_rollout)
+    from robosimgs_tpu.train.io_ply import load_ply
+
+    background = load_ply(args.scene)
+    objects = [ArticulatedObject.from_urdf(u) for u in args.urdf]
+
+    if args.cameras:
+        cams = []
+        for c in json.load(open(args.cameras)):
+            cams.append(Camera.look_at(
+                c["eye"], c["target"], c.get("up", [0, 0, 1]),
+                c.get("fov", 60.0), c.get("width", args.width),
+                c.get("height", args.height)))
+    else:
+        cams = []
+        for i in range(args.n_cameras):
+            ang = 2 * np.pi * i / args.n_cameras
+            cams.append(Camera.look_at(
+                [2.5 * np.cos(ang), 2.5 * np.sin(ang), 1.5], [0, 0, 0.3],
+                [0, 0, 1], 60.0, args.width, args.height))
+
+    if args.trajectory:
+        if args.trajectory.endswith(".npy"):
+            traj = np.load(args.trajectory)
+        else:
+            traj = np.asarray(json.load(open(args.trajectory)), np.float32)
+    elif objects:
+        trajs = [open_close_trajectory(o.model, args.steps) for o in objects]
+        traj = np.concatenate(trajs, axis=1)
+    else:
+        traj = np.zeros((args.steps, 0), np.float32)
+
+    frames = render_rollout(background, objects, traj, cams, impl=args.impl)
+    os.makedirs(args.output, exist_ok=True)
+    T, C = frames.shape[:2]
+    for t in range(T):
+        for c in range(C):
+            Image.fromarray(
+                (np.clip(frames[t, c], 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(args.output, f"frame_{t:04d}_cam{c}.png"))
+    print(f"wrote {T * C} frames to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

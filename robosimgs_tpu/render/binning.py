@@ -45,36 +45,32 @@ class BinStats:
     total_pairs: jax.Array          # total (gaussian, tile) intersections
 
 
-def bin_gaussians(
-    proj: Projected, width: int, height: int, cfg: RenderConfig
+def bin_rects(
+    tx0: jax.Array, ty0: jax.Array, tx1: jax.Array, ty1: jax.Array,
+    rank: jax.Array, valid: jax.Array,
+    tiles_x: int, tiles_y: int, max_tiles_per_prim: int, tile_capacity: int,
 ) -> Tuple[jax.Array, jax.Array, BinStats]:
-    """Returns (sel, counts, stats).
-
-    sel:    (T, K) int32 — per-tile Gaussian indices, front-to-back.
-    counts: (T,)   int32 — live entries per tile (<= K).
+    """Generic static-shape tile binner for rect-bounded primitives
+    (Gaussian splats, triangles). Returns (sel, counts, stats):
+    sel (T, K) int32 primitive indices ordered by `rank` within each
+    tile; counts (T,) int32.
     """
-    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
     T = tiles_x * tiles_y
-    n = proj.means2d.shape[0]
-    M = cfg.max_tiles_per_gaussian
-    K = cfg.tile_capacity
+    n = tx0.shape[0]
+    M = max_tiles_per_prim
+    K = tile_capacity
 
-    tx0, ty0, tx1, ty1 = tile_bbox(proj.means2d, proj.radii, tiles_x, tiles_y, cfg.tile_size)
     bw = (tx1 - tx0 + 1).clip(0)
     bh = (ty1 - ty0 + 1).clip(0)
-    cover = bw * bh  # tiles covered by each gaussian
+    cover = bw * bh
 
     e = jnp.arange(M, dtype=jnp.int32)[None, :]            # (1, M)
     bw_safe = jnp.maximum(bw, 1)[:, None]
     row = e // bw_safe
     col = e % bw_safe
-    valid_e = (e < cover[:, None]) & proj.valid[:, None]
+    valid_e = (e < cover[:, None]) & valid[:, None]
     tid = (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col)
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)     # T = sentinel, sorts last
-
-    # Global front-to-back rank (same stable argsort as the reference path).
-    order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf))
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
     flat_tid = tid.reshape(-1)
     flat_rank = jnp.broadcast_to(rank[:, None], (n, M)).reshape(-1)
@@ -92,19 +88,42 @@ def bin_gaussians(
     sel = jnp.where(mask, sel, 0).astype(jnp.int32)
 
     stats = BinStats(
-        truncated_gaussians=jnp.sum((cover > M) & proj.valid).astype(jnp.int32),
+        truncated_gaussians=jnp.sum((cover > M) & valid).astype(jnp.int32),
         overflowed_tiles=jnp.sum(full_counts > K).astype(jnp.int32),
         max_tile_count=jnp.max(full_counts).astype(jnp.int32),
-        total_pairs=jnp.sum(jnp.where(proj.valid, jnp.minimum(cover, M), 0)).astype(jnp.int32),
+        total_pairs=jnp.sum(jnp.where(valid, jnp.minimum(cover, M), 0)).astype(jnp.int32),
     )
     return sel, counts, stats
+
+
+def bin_gaussians(
+    proj: Projected, width: int, height: int, cfg: RenderConfig
+) -> Tuple[jax.Array, jax.Array, BinStats]:
+    """Returns (sel, counts, stats).
+
+    sel:    (T, K) int32 — per-tile Gaussian indices, front-to-back.
+    counts: (T,)   int32 — live entries per tile (<= K).
+    """
+    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
+    n = proj.means2d.shape[0]
+
+    tx0, ty0, tx1, ty1 = tile_bbox(proj.means2d, proj.radii, tiles_x, tiles_y, cfg.tile_size)
+
+    # Global front-to-back rank (same stable argsort as the reference path).
+    order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf))
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    return bin_rects(tx0, ty0, tx1, ty1, rank, proj.valid, tiles_x, tiles_y,
+                     cfg.max_tiles_per_gaussian, cfg.tile_capacity)
 
 
 def gather_tile_features(proj: Projected, sel: jax.Array, counts: jax.Array, cfg: RenderConfig):
     """Gather per-tile feature blocks for the composite kernels.
 
     Returns:
-      geom: (T, 8, K) — rows [mx, my, conic_a, conic_b, conic_c, opacity, 0, 0]
+      geom: (T, 8, K) — rows [mx, my, conic_a, conic_b, conic_c, opacity, depth, 0]
+            (depth in row 6 feeds the per-pixel depth-limit test used
+            for mesh-occlusion-aware compositing; non-differentiable)
       feat: (T, 8, K) — rows [r, g, b, depth, 1, 0, 0, 0]
 
     Padding entries (beyond counts) get opacity 0, which makes them
@@ -122,7 +141,8 @@ def gather_tile_features(proj: Projected, sel: jax.Array, counts: jax.Array, cfg
     cc = proj.conics[sel, 2]
     op = jnp.where(mask, proj.opacities[sel], 0.0)
     zeros = jnp.zeros_like(mx)
-    geom = jnp.stack([mx, my, ca, cb, cc, op, zeros, zeros], axis=1)
+    gd = jax.lax.stop_gradient(proj.depths[sel])
+    geom = jnp.stack([mx, my, ca, cb, cc, op, gd, zeros], axis=1)
 
     r = proj.colors[sel, 0]
     g = proj.colors[sel, 1]

@@ -20,14 +20,17 @@ def composite_gathered(
     counts: jax.Array, # (T,)
     tiles_x: int,
     cfg: RenderConfig,
+    dlim: jax.Array | None = None,  # (T, P) per-pixel depth limits
 ) -> jax.Array:
     """Returns (T, 8, P) per-tile feature images, P = tile_size**2."""
     ts = cfg.tile_size
     P = ts * ts
     K = geom.shape[2]
+    if dlim is None:
+        dlim = jnp.full((geom.shape[0], P), jnp.inf, jnp.float32)
 
     def one_tile(args):
-        t_idx, g, f, count = args
+        t_idx, g, f, count, dl = args
         ox = (t_idx % tiles_x) * ts
         oy = (t_idx // tiles_x) * ts
         p = jnp.arange(P, dtype=jnp.int32)
@@ -42,6 +45,7 @@ def composite_gathered(
         alpha = jnp.minimum(cfg.alpha_clamp, op * jnp.exp(-q))
         kmask = (jnp.arange(K, dtype=jnp.int32) < count)[None, :]
         keep = kmask & (alpha >= cfg.alpha_min) & (q >= 0.0)
+        keep = keep & (g[6][None, :] <= dl[:, None])   # mesh depth limit
         alpha = jnp.where(keep, alpha, 0.0)
         l = jnp.log1p(-alpha)
         incl = jnp.cumsum(l, axis=1)
@@ -53,7 +57,7 @@ def composite_gathered(
 
     T = geom.shape[0]
     t_idx = jnp.arange(T, dtype=jnp.int32)
-    return jax.lax.map(one_tile, (t_idx, geom, feat, counts))
+    return jax.lax.map(one_tile, (t_idx, geom, feat, counts, dlim))
 
 
 def untile(out_tiles: jax.Array, tiles_x: int, tiles_y: int,
@@ -63,3 +67,14 @@ def untile(out_tiles: jax.Array, tiles_x: int, tiles_y: int,
     img = out_tiles.reshape(tiles_y, tiles_x, 8, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * ts, tiles_x * ts, 8)
     return img[:height, :width]
+
+
+def tile_image(img: jax.Array, tiles_x: int, tiles_y: int,
+               tile_size: int, pad_value: float = 0.0) -> jax.Array:
+    """(H, W) scalar image -> (T, P) per-tile pixel rows (padded)."""
+    ts = tile_size
+    H, W = img.shape
+    padded = jnp.full((tiles_y * ts, tiles_x * ts), pad_value, img.dtype)
+    padded = padded.at[:H, :W].set(img)
+    t = padded.reshape(tiles_y, ts, tiles_x, ts).transpose(0, 2, 1, 3)
+    return t.reshape(tiles_y * tiles_x, ts * ts)

@@ -59,8 +59,11 @@ def _tile_pixel_coords(t, tiles_x: int, ts: int):
     return px, py
 
 
-def _alpha_block(g, px, py, cfg: RenderConfig):
-    """Shared fwd/bwd alpha math for one (8, BK) geometry block."""
+def _alpha_block(g, px, py, cfg: RenderConfig, dlim=None):
+    """Shared fwd/bwd alpha math for one (8, BK) geometry block.
+
+    dlim: optional (P, 1) per-pixel depth limit — a Gaussian behind it
+    (geom row 6 depth > dlim) is occluded (mesh compositing)."""
     mx, my = g[0:1, :], g[1:2, :]
     ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
     op = g[5:6, :]
@@ -71,24 +74,27 @@ def _alpha_block(g, px, py, cfg: RenderConfig):
     raw = op * eq
     alpha = jnp.minimum(cfg.alpha_clamp, raw)
     keep = (alpha >= cfg.alpha_min) & (q >= 0.0)
+    if dlim is not None:
+        keep = keep & (g[6:7, :] <= dlim)
     alpha = jnp.where(keep, alpha, 0.0)
     return alpha, keep, raw, eq, q, dx, dy
 
 
-def _fwd_kernel(counts_ref, geom_ref, feat_ref, out_ref, *, cfg: RenderConfig,
+def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, out_ref, *, cfg: RenderConfig,
                 tiles_x: int, n_blocks: int):
     ts = cfg.tile_size
     P = ts * ts
     t = pl.program_id(0)
     count = counts_ref[t]
     px, py = _tile_pixel_coords(t, tiles_x, ts)
+    dlim = dlim_ref[0]  # (P, 1)
     log_tmin = math.log(cfg.transmittance_min)
 
     def body(carry):
         i, acc, logT = carry
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
-        alpha, *_ = _alpha_block(g, px, py, cfg)
+        alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
         l = jnp.log1p(-alpha)
         incl = _cumsum_lanes(l)
         Tk = jnp.exp(logT + (incl - l))
@@ -110,13 +116,14 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, out_ref, *, cfg: RenderConfig,
     out_ref[0] = acc
 
 
-def _bwd_kernel(counts_ref, geom_ref, feat_ref, gout_ref, dgeom_ref, dfeat_ref,
+def _bwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, gout_ref, dgeom_ref, dfeat_ref,
                 *, cfg: RenderConfig, tiles_x: int, n_blocks: int):
     ts = cfg.tile_size
     P = ts * ts
     t = pl.program_id(0)
     count = counts_ref[t]
     px, py = _tile_pixel_coords(t, tiles_x, ts)
+    dlim = dlim_ref[0]  # (P, 1)
     gout = gout_ref[0]  # (8, P)
 
     dgeom_ref[0] = jnp.zeros_like(dgeom_ref[0])
@@ -127,7 +134,7 @@ def _bwd_kernel(counts_ref, geom_ref, feat_ref, gout_ref, dgeom_ref, dfeat_ref,
         i, R, logT = carry
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
-        alpha, *_ = _alpha_block(g, px, py, cfg)
+        alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
         l = jnp.log1p(-alpha)
         incl = _cumsum_lanes(l)
         Tk = jnp.exp(logT + (incl - l))
@@ -151,7 +158,7 @@ def _bwd_kernel(counts_ref, geom_ref, feat_ref, gout_ref, dgeom_ref, dfeat_ref,
         i, prefix_gw, logT = carry
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
-        alpha, keep, raw, eq, q, dx, dy = _alpha_block(g, px, py, cfg)
+        alpha, keep, raw, eq, q, dx, dy = _alpha_block(g, px, py, cfg, dlim)
         ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
         l = jnp.log1p(-alpha)
         incl = _cumsum_lanes(l)
@@ -199,9 +206,9 @@ def _interpret() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret"))
-def composite_fwd_pallas(geom, feat, counts, *, tiles_x: int, cfg: RenderConfig,
+def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int, cfg: RenderConfig,
                          interpret: bool | None = None):
-    """(T,8,K) geom/feat + (T,) counts -> (T,8,P) composited tiles."""
+    """(T,8,K) geom/feat + (T,) counts + (T,P) depth limits -> (T,8,P)."""
     T, _, K = geom.shape
     if K % BK != 0:
         raise ValueError(f"tile_capacity {K} must be a multiple of {BK}")
@@ -215,6 +222,7 @@ def composite_fwd_pallas(geom, feat, counts, *, tiles_x: int, cfg: RenderConfig,
         in_specs=[
             pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0)),
     )
@@ -223,11 +231,11 @@ def composite_fwd_pallas(geom, feat, counts, *, tiles_x: int, cfg: RenderConfig,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
         interpret=interpret,
-    )(counts, geom, feat)
+    )(counts, geom, feat, dlim)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret"))
-def composite_bwd_pallas(geom, feat, counts, gout, *, tiles_x: int, cfg: RenderConfig,
+def composite_bwd_pallas(geom, feat, counts, dlim, gout, *, tiles_x: int, cfg: RenderConfig,
                          interpret: bool | None = None):
     """Backward: returns (dgeom, dfeat), each (T, 8, K)."""
     T, _, K = geom.shape
@@ -241,6 +249,7 @@ def composite_bwd_pallas(geom, feat, counts, gout, *, tiles_x: int, cfg: RenderC
         in_specs=[
             pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0)),
         ],
         out_specs=[
@@ -256,4 +265,4 @@ def composite_bwd_pallas(geom, feat, counts, gout, *, tiles_x: int, cfg: RenderC
             jax.ShapeDtypeStruct((T, 8, K), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, geom, feat, gout)
+    )(counts, geom, feat, dlim, gout)

@@ -31,11 +31,14 @@ def composite_reference(
     height: int,
     cfg: RenderConfig = RenderConfig(),
     background: Optional[jax.Array] = None,
+    depth_limit: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Composite projected splats into an image.
 
     Returns dict with rgb (H, W, 3), alpha (H, W), depth (H, W)
     (alpha-weighted accumulated depth, not normalized).
+    depth_limit: optional (H, W) per-pixel max depth (mesh z-buffer);
+    Gaussians behind it are occluded.
     """
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
@@ -79,9 +82,14 @@ def composite_reference(
     py = (pix // width).astype(jnp.float32)
     ptx = (pix % width) // cfg.tile_size          # pixel tile coords
     pty = (pix // width) // cfg.tile_size
+    if depth_limit is None:
+        dlim_flat = jnp.full((p_pad,), jnp.inf, jnp.float32)
+    else:
+        dlim_flat = jnp.pad(depth_limit.reshape(-1), (0, p_pad - p_total),
+                            constant_values=jnp.inf)
 
     def render_block(block):
-        bpx, bpy, bptx, bpty = block  # each (pb,)
+        bpx, bpy, bptx, bpty, bdlim = block  # each (pb,)
 
         def step(carry, ch):
             T, rgb, acc_a, acc_d = carry
@@ -94,6 +102,7 @@ def composite_reference(
             tile_ok = ((bptx[:, None] >= x0[None, :]) & (bptx[:, None] <= x1[None, :])
                        & (bpty[:, None] >= y0[None, :]) & (bpty[:, None] <= y1[None, :]))
             keep = val[None, :] & tile_ok & (alpha >= cfg.alpha_min) & (q >= 0.0)
+            keep = keep & (dep[None, :] <= bdlim[:, None])
             alpha = jnp.where(keep, alpha, 0.0)
 
             log1m = jnp.log1p(-alpha)
@@ -114,7 +123,8 @@ def composite_reference(
         return rgb, acc_a, acc_d
 
     blocks = (px.reshape(-1, pb), py.reshape(-1, pb),
-              ptx.reshape(-1, pb), pty.reshape(-1, pb))
+              ptx.reshape(-1, pb), pty.reshape(-1, pb),
+              dlim_flat.reshape(-1, pb))
     rgb, acc_a, acc_d = jax.lax.map(render_block, blocks)
 
     rgb = rgb.reshape(-1, 3)[:p_total].reshape(height, width, 3)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from robosimgs_tpu.render.binning import bin_gaussians, gather_tile_features
 from robosimgs_tpu.render.config import RenderConfig
-from robosimgs_tpu.render.gathered import composite_gathered, untile
+from robosimgs_tpu.render.gathered import (composite_gathered, tile_image,
+                                           untile)
 from robosimgs_tpu.render.pallas_kernels import (composite_bwd_pallas,
                                                 composite_fwd_pallas)
 from robosimgs_tpu.render.project import Projected
@@ -29,18 +30,18 @@ from robosimgs_tpu.render.tiles import num_tiles
 @functools.lru_cache(maxsize=None)
 def _make_compositor(tiles_x: int, cfg: RenderConfig, interpret: bool):
     @jax.custom_vjp
-    def comp(geom, feat, counts):
+    def comp(geom, feat, counts, dlim):
         return composite_fwd_pallas(
-            geom, feat, counts, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
+            geom, feat, counts, dlim, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
 
-    def fwd(geom, feat, counts):
-        return comp(geom, feat, counts), (geom, feat, counts)
+    def fwd(geom, feat, counts, dlim):
+        return comp(geom, feat, counts, dlim), (geom, feat, counts, dlim)
 
     def bwd(res, gout):
-        geom, feat, counts = res
+        geom, feat, counts, dlim = res
         dgeom, dfeat = composite_bwd_pallas(
-            geom, feat, counts, gout, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
-        return dgeom, dfeat, None
+            geom, feat, counts, dlim, gout, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
+        return dgeom, dfeat, None, None
 
     comp.defvjp(fwd, bwd)
     return comp
@@ -54,11 +55,14 @@ def composite_tiled(
     background: Optional[jax.Array] = None,
     compositor: str = "pallas",
     return_stats: bool = False,
+    depth_limit: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Composite projected splats via the tile-binned path.
 
     compositor: "pallas" (TPU kernels; interpreter on CPU) or "jnp"
     (gathered-tile jnp oracle with autodiff backward).
+    depth_limit: optional (H, W) per-pixel max depth (e.g. a rasterized
+    mesh's z-buffer) — Gaussians behind it are occluded.
     """
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
@@ -69,12 +73,20 @@ def composite_tiled(
     counts = jax.lax.stop_gradient(counts)
     geom, feat = gather_tile_features(proj, sel, counts, cfg)
 
+    P = cfg.tile_size * cfg.tile_size
+    if depth_limit is None:
+        dlim = jnp.full((geom.shape[0], P), jnp.inf, jnp.float32)
+    else:
+        dlim = tile_image(jax.lax.stop_gradient(depth_limit), tiles_x, tiles_y,
+                          cfg.tile_size, pad_value=jnp.inf)
+    dlim_col = dlim[..., None]  # (T, P, 1) — Mosaic-friendly lane layout
+
     if compositor == "pallas":
         interpret = jax.default_backend() != "tpu"
         comp = _make_compositor(tiles_x, cfg, interpret)
-        out_tiles = comp(geom, feat, counts)
+        out_tiles = comp(geom, feat, counts, dlim_col)
     elif compositor == "jnp":
-        out_tiles = composite_gathered(geom, feat, counts, tiles_x, cfg)
+        out_tiles = composite_gathered(geom, feat, counts, tiles_x, cfg, dlim)
     else:
         raise ValueError(f"unknown compositor {compositor!r}")
 

@@ -1,0 +1,279 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from robosimgs_tpu.artic.config import ArticConfig
+from robosimgs_tpu.artic.hinge import HingeDetector
+from robosimgs_tpu.artic.mllm import (MLLMError, ScriptedMLLM, StaticCaptioner,
+                                      UniformScorer, extract_json, with_retry)
+from robosimgs_tpu.artic.physics import (MATERIAL_VOCABULARY, PhysicsEstimator,
+                                         load_material_table)
+from robosimgs_tpu.artic.pipeline import (ArticulationPipeline, URDFParams,
+                                          identify_lid_and_body)
+from robosimgs_tpu.artic.segmentation import (Segmenter, dilate_mask,
+                                              nearest_vertex,
+                                              split_mesh_by_mask)
+from robosimgs_tpu.artic.urdf_builder import URDFBuilder
+from robosimgs_tpu.scenegen.urdf_fk import URDFModel
+from robosimgs_tpu.utils.meshio import Mesh
+
+
+def box_mesh(size=(0.5, 0.5, 0.2), offset=(0, 0, 0)):
+    sx, sy, sz = size
+    v = np.array([[x, y, z] for x in (-sx, sx) for y in (-sy, sy) for z in (-sz, sz)],
+                 np.float32) + np.asarray(offset, np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return Mesh(vertices=v, faces=f)
+
+
+# -- mllm utilities --------------------------------------------------------
+
+def test_with_retry_succeeds_after_failures():
+    calls = []
+
+    def fn(seed):
+        calls.append(seed)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return f"ok@{seed}"
+
+    out = with_retry(fn, tries=5, sleep_s=0.0)
+    assert out == "ok@102"
+    assert calls == [100, 101, 102]  # seed bumps per retry
+
+
+def test_with_retry_raises_typed_error():
+    with pytest.raises(MLLMError, match="failed after 2"):
+        with_retry(lambda s: (_ for _ in ()).throw(RuntimeError("boom")),
+                   tries=2, sleep_s=0.0)
+
+
+def test_extract_json_variants():
+    assert extract_json('{"a": 1}') == {"a": 1}
+    assert extract_json('blah ```json\n{"a": 2}\n``` blah') == {"a": 2}
+    assert extract_json('prefix {"a": {"b": 3}} suffix') == {"a": {"b": 3}}
+    with pytest.raises(ValueError):
+        extract_json("no json here")
+
+
+# -- hinge -----------------------------------------------------------------
+
+def test_hinge_detects_contact_edge():
+    # lid sitting on top of body, touching along the z=0.2 plane edge y=0.5
+    body = box_mesh((0.5, 0.5, 0.2))
+    lid = box_mesh((0.5, 0.02, 0.02), offset=(0, 0.5, 0.24))
+    h = HingeDetector(body, lid).detect()
+    # contact around y=0.5, z~0.2; hinge axis should be ±x (the long contact dir)
+    assert abs(abs(h.axis[0]) - 1.0) < 0.1
+    assert h.contact_count_a > 0 and h.contact_count_b > 0
+    assert 0.0 <= h.confidence <= 1.0
+
+
+def test_hinge_far_apart_fallback():
+    a = box_mesh((0.1, 0.1, 0.1))
+    b = box_mesh((0.1, 0.1, 0.1), offset=(0, 0, 5.0))
+    h = HingeDetector(a, b, contact_margin=0.001).detect()
+    assert np.isfinite(h.position).all()
+
+
+# -- urdf builder ----------------------------------------------------------
+
+def test_urdf_builder_output_parses():
+    b = URDFBuilder("testobj")
+    b.add_link("body", "body.glb", mass=0.5)
+    b.add_link("lid", "lid.glb", mass=0.2)
+    b.add_revolute_joint("hinge", "body", "lid", axis=(0, 0, 1),
+                         lower=0.0, upper=1.57)
+    s = b.to_string()
+    assert s.startswith('<?xml version="1.0"?>')
+    m = URDFModel.parse(s)
+    assert m.root == "body"
+    assert m.movable[0].upper == pytest.approx(1.57)
+    assert m.links["body"].mass == 0.5
+    assert m.validate() == []
+
+
+def test_urdf_builder_fixed_joint():
+    b = URDFBuilder("t")
+    b.add_link("a").add_link("b").add_fixed_joint("j", "a", "b",
+                                                  origin_xyz=(1, 2, 3))
+    m = URDFModel.parse(b.to_string())
+    T = m.fk()
+    np.testing.assert_allclose(T["b"][:3, 3], [1, 2, 3], atol=1e-6)
+
+
+# -- lid/body heuristic ----------------------------------------------------
+
+def test_identify_lid_and_body():
+    mov, base = identify_lid_and_body({"RED": "box lid", "GREEN": "box body"})
+    assert mov == "RED" and base == "GREEN"
+    mov, base = identify_lid_and_body({"A": "container", "B": "hinged door"})
+    assert mov == "B" and base == "A"
+
+
+# -- segmentation ----------------------------------------------------------
+
+def test_nearest_vertex_and_dilate():
+    m = box_mesh()
+    idx = nearest_vertex(m, [0.49, 0.49, 0.19])
+    np.testing.assert_allclose(m.vertices[idx], [0.5, 0.5, 0.2])
+    mask = np.zeros((32, 32), bool)
+    mask[16, 16] = True
+    d = dilate_mask(mask, 5)
+    assert d.sum() > 10
+
+
+def test_split_mesh_by_mask():
+    from robosimgs_tpu.artic.render_views import view_camera
+    m = box_mesh((0.5, 0.5, 0.5))
+    camera = view_camera(m, np.array([0.0, -1.0, 0.0]), resolution=128)
+    # mask covering the upper half of the image -> splits top from bottom
+    mask = np.zeros((128, 128), bool)
+    mask[:64, :] = True
+    top, bottom, hit = split_mesh_by_mask(m, mask, camera)
+    assert hit.sum() > 0 and (~hit).sum() > 0
+    # top part's mean z should be above bottom part's
+    assert top.vertices[:, 2].mean() > bottom.vertices[:, 2].mean()
+
+
+class TopHalfMaskGen:
+    """Fake SAM: candidate masks are horizontal bands."""
+
+    def generate(self, image):
+        H, W = image.shape[:2]
+        full = np.zeros((H, W), bool)
+        full[: H // 2] = True
+        small = np.zeros((H, W), bool)
+        small[: H // 4] = True
+        return [small, full]
+
+
+def test_segmenter_end_to_end(tmp_path):
+    m = box_mesh((0.4, 0.4, 0.4))
+    mllm = ScriptedMLLM(responses=[
+        ("Pick the single viewpoint", '{"view": "front"}'),
+        ("Name each part", '{"RED": "box lid", "GREEN": "box body"}'),
+    ])
+    seg = Segmenter(m, out_dir=str(tmp_path), mask_generator=TopHalfMaskGen(),
+                    mllm=mllm, resolution=96, mask_dilate_px=2)
+    res = seg.run(points=[[0.0, -0.4, 0.35], [0.0, -0.4, -0.35]])
+    assert res.best_view == "front"
+    assert res.prompts == {"RED": "box lid", "GREEN": "box body"}
+    assert set(res.parts) == {"RED", "GREEN"}
+    for color in ("RED", "GREEN"):
+        assert res.parts[color].faces.shape[0] > 0
+    # artifact contract
+    for f in ("selected_points.json", "clip_prompts.json", "camera_params.json",
+              "part_RED.glb", "part_GREEN.glb", "mask_RED_front.npy",
+              "view_front.png", "view_front_marked.png"):
+        assert (tmp_path / f).exists(), f
+    cp = json.loads((tmp_path / "camera_params.json").read_text())
+    assert set(cp["front"]) == {"intrinsics", "c2w", "resolution"}
+
+
+# -- pipeline --------------------------------------------------------------
+
+def test_articulation_pipeline_end_to_end(tmp_path):
+    body = box_mesh((0.5, 0.5, 0.2), offset=(1.0, 2.0, 0.0))
+    lid = box_mesh((0.5, 0.03, 0.02), offset=(1.0, 2.5, 0.23))
+    mllm = ScriptedMLLM(responses=[(
+        "Recommend URDF parameters",
+        '{"object_type": "box", "base_link": "base", "lower_rad": 0.0, '
+        '"upper_rad": 1.57, "effort": 5, "velocity": 2, "friction": 0.5, '
+        '"damping": 0.2, "base_mass_kg": 0.5, "movable_mass_kg": 0.2, '
+        '"reasoning": "typical box lid"}')])
+    pipe = ArticulationPipeline(lid, body, mllm=mllm)
+    meta = pipe.generate(str(tmp_path), movable_name="lid", base_name="body")
+
+    # URDF loads, validates, articulates
+    model = URDFModel.parse(meta["urdf_path"])
+    assert model.validate() == []
+    assert model.movable[0].upper == pytest.approx(1.57)
+    # hinge moved to origin: centered meshes' contact near origin
+    from robosimgs_tpu.utils.meshio import load_mesh
+    lid_c = load_mesh(str(tmp_path / "lid_centered.glb"))
+    assert np.abs(lid_c.vertices).min() < 0.6
+    md = json.loads((tmp_path / "metadata.json").read_text())
+    assert md["joint_limits"]["lower"] == md["joint_limits"]["lower"]  # schema
+    assert set(md["hinge"]) >= {"original_position", "axis", "axis_confidence",
+                                "translation_applied"}
+    # metadata limits match URDF limits (the reference shipped a mismatch;
+    # we assert consistency)
+    assert md["joint_limits"]["upper"] == pytest.approx(model.movable[0].upper)
+    assert md["joint_limits"]["lower"] == pytest.approx(model.movable[0].lower)
+
+
+def test_pipeline_swap_base_movable(tmp_path):
+    body = box_mesh((0.5, 0.5, 0.2))
+    lid = box_mesh((0.5, 0.03, 0.02), offset=(0, 0.5, 0.23))
+    params = URDFParams(swap_base_movable=True)
+    pipe = ArticulationPipeline(lid, body)
+    meta = pipe.generate(str(tmp_path), params=params,
+                         movable_name="lid", base_name="body")
+    # swapped: "body" is now the movable link
+    model = URDFModel.parse(meta["urdf_path"])
+    assert model.movable[0].child == "lid" or model.movable[0].child == "body"
+    assert meta["files"]["movable_mesh"].endswith("_centered.glb")
+
+
+# -- config ----------------------------------------------------------------
+
+def test_artic_config_dirs(tmp_path):
+    inp = tmp_path / "openbox.glb"
+    inp.write_bytes(b"")
+    cfg = ArticConfig(input_file=str(inp))
+    assert cfg.output_dir.endswith("openbox_output")
+    for sub in ("segmentation", "parts", "urdf"):
+        assert os.path.isdir(os.path.join(cfg.output_dir, sub))
+
+
+# -- physics ---------------------------------------------------------------
+
+def test_material_tables_load():
+    mpm = load_material_table("mpm")
+    assert set(MATERIAL_VOCABULARY) <= set(mpm)
+    pbd = load_material_table("pbd")
+    assert "rubber" in pbd
+    for row in pbd.values():
+        assert 0 <= row["static_friction"] <= 2
+
+
+def test_physics_estimate_mpm(tmp_path):
+    img = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32)
+    mllm = ScriptedMLLM(responses=[
+        ("list the 3 most likely materials",
+         '{"1": "rigid: wood", "2": "rigid: metal", "3": "deformable: rubber"}'),
+        ("Refine them",
+         '{"density": 650, "youngs_modulus": 5.5, "poisson_ratio": 0.3}'),
+    ])
+    est = PhysicsEstimator(
+        captioner=StaticCaptioner("a wooden box"),
+        scorer=UniformScorer({"a photo of wood material": 2.0}),
+        mllm=mllm,
+    ).estimate(img, out_path=str(tmp_path / "physics.json"))
+    assert est.method == "mpm"
+    assert est.material == "wood"
+    assert est.refined
+    assert est.params == {"density": 650, "youngs_modulus": 5.5,
+                          "poisson_ratio": 0.3}
+    saved = json.loads((tmp_path / "physics.json").read_text())
+    assert saved["method"] == "mpm"
+
+
+def test_physics_estimate_pbd_no_mllm():
+    img = np.zeros((16, 16, 3), np.float32)
+
+    class PBDCoarse:
+        def chat(self, prompt, images=(), seed=None):
+            if "list the 3" in prompt:
+                return '{"1": "deformable: rubber", "2": "deformable: gelatin", "3": "rigid: wood"}'
+            raise RuntimeError("no refinement")
+
+    est = PhysicsEstimator(mllm=PBDCoarse()).estimate(img)
+    assert est.method == "pbd"
+    assert not est.refined
+    assert "stretch_compliance" in est.params

@@ -1,0 +1,130 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robosimgs_tpu.core.camera import Camera
+from robosimgs_tpu.core.types import Gaussians
+from robosimgs_tpu.render.compose import render_composite
+from robosimgs_tpu.render.config import RenderConfig
+from robosimgs_tpu.render.mesh_raster import MeshRasterConfig, rasterize_mesh
+from robosimgs_tpu.render.rasterize import rasterize
+
+
+def unit_quad(z=0.0, size=1.0, color=(1.0, 0.0, 0.0)):
+    """Two triangles spanning [-s,s]^2 in the plane x=z (facing +x)."""
+    s = size
+    verts = np.array([[z, -s, -s], [z, s, -s], [z, s, s], [z, -s, s]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    cols = np.tile(np.asarray(color, np.float32), (4, 1))
+    return jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(cols)
+
+
+def cam(w=64, h=64, dist=4.0):
+    return Camera.look_at([dist, 0, 0], [0, 0, 0], [0, 0, 1], 60.0, w, h)
+
+
+def test_quad_covers_center():
+    v, f, c = unit_quad(size=0.8)
+    out = rasterize_mesh(v, f, cam(), vertex_colors=c)
+    m = np.asarray(out["mask"])
+    assert m[32, 32]
+    assert not m[2, 2]  # corner outside quad
+    np.testing.assert_allclose(np.asarray(out["rgb"])[32, 32], [1, 0, 0], atol=1e-5)
+    # depth at center = distance 4
+    np.testing.assert_allclose(np.asarray(out["depth"])[32, 32], 4.0, atol=1e-3)
+
+
+def test_zbuffer_nearest_wins():
+    v1, f1, c1 = unit_quad(z=0.0, size=0.8, color=(1, 0, 0))
+    v2, f2, c2 = unit_quad(z=1.0, size=0.4, color=(0, 1, 0))  # closer to cam at +4
+    v = jnp.concatenate([v1, v2])
+    f = jnp.concatenate([f1, f2 + 4])
+    c = jnp.concatenate([c1, c2])
+    out = rasterize_mesh(v, f, cam(), vertex_colors=c)
+    rgb = np.asarray(out["rgb"])
+    np.testing.assert_allclose(rgb[32, 32], [0, 1, 0], atol=1e-5)   # center: near quad
+    np.testing.assert_allclose(rgb[32, 22], [1, 0, 0], atol=1e-5)   # ring: far quad only
+    d = np.asarray(out["depth"])
+    assert d[32, 32] < d[32, 22]
+
+
+def test_face_id_map():
+    v, f, c = unit_quad(size=0.8)
+    out = rasterize_mesh(v, f, cam(), vertex_colors=c)
+    fid = np.asarray(out["face_id"])
+    hits = np.unique(fid[fid >= 0])
+    assert set(hits) == {0, 1}
+    assert (fid[~np.asarray(out["mask"])] == -1).all()
+
+
+def test_perspective_depth_interpolation():
+    # slanted quad: depth varies across the surface
+    verts = jnp.asarray(np.array(
+        [[0.5, -1, -1], [-0.5, 1, -1], [-0.5, 1, 1], [0.5, -1, 1]], np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    out = rasterize_mesh(verts, faces, cam())
+    d = np.asarray(out["depth"])
+    # left side of image (negative y in world seen from +x cam... check monotone)
+    row = d[32, 22:42]
+    assert np.isfinite(row).all()
+    assert (np.diff(row) > 0).all() or (np.diff(row) < 0).all()
+
+
+def test_composite_mesh_occludes_gaussians():
+    g = Gaussians.from_points(
+        np.array([[-0.5, 0, 0]], np.float32),        # behind the quad
+        np.array([[0, 0, 1]], np.float32), sh_degree=0,
+        init_scale=np.array([0.3], np.float32))
+    g = g.replace(logit_opacities=jnp.full((1,), 10.0))
+    v, f, c = unit_quad(z=0.0, size=0.6, color=(1, 0, 0))
+    out = render_composite(g, cam(), [(v, f, c)], impl="reference")
+    rgb = np.asarray(out["rgb"])
+    # center: mesh in front -> red, gaussian hidden
+    np.testing.assert_allclose(rgb[32, 32], [1, 0, 0], atol=1e-4)
+
+
+def test_composite_gaussian_in_front_of_mesh():
+    g = Gaussians.from_points(
+        np.array([[0.5, 0, 0]], np.float32),         # in front of quad
+        np.array([[0, 0, 1]], np.float32), sh_degree=0,
+        init_scale=np.array([0.2], np.float32))
+    g = g.replace(logit_opacities=jnp.full((1,), 10.0))
+    v, f, c = unit_quad(z=0.0, size=0.8, color=(1, 0, 0))
+    out = render_composite(g, cam(), [(v, f, c)], impl="reference")
+    rgb = np.asarray(out["rgb"])
+    assert rgb[32, 32, 2] > 0.5          # blue gaussian visible at center
+    # ring pixel: mostly mesh red with a faint gaussian tail
+    assert rgb[32, 24, 0] > 0.9 and rgb[32, 24, 1] < 1e-6
+
+
+def test_composite_background_passthrough():
+    g = Gaussians.random(jax.random.PRNGKey(0), 5, sh_degree=0)
+    g = g.replace(alive=jnp.zeros_like(g.alive))
+    out = render_composite(g, cam(32, 32), [], background=jnp.asarray([0.1, 0.2, 0.3]),
+                           impl="reference")
+    np.testing.assert_allclose(np.asarray(out["rgb"])[0, 0], [0.1, 0.2, 0.3], atol=1e-6)
+
+
+def test_depth_limit_consistency_tiled_vs_reference():
+    key = jax.random.PRNGKey(2)
+    g = Gaussians.random(key, 80, sh_degree=1)
+    c = cam(48, 48)
+    v, f, col = unit_quad(z=0.0, size=0.5, color=(0.5, 0.5, 0.5))
+    cfg = RenderConfig(tile_capacity=128, max_tiles_per_gaussian=64)
+    out_ref = render_composite(g, c, [(v, f, col)], cfg, impl="reference")
+    out_til = render_composite(g, c, [(v, f, col)], cfg, impl="tiled")
+    np.testing.assert_allclose(np.asarray(out_til["rgb"]), np.asarray(out_ref["rgb"]),
+                               atol=1e-5)
+
+
+def test_mesh_raster_grad_vertices():
+    """Vertex positions are differentiable through the raster (colors via
+    barycentric weights)."""
+    v, f, c = unit_quad(size=0.8)
+
+    def loss(verts):
+        out = rasterize_mesh(verts, f, cam(32, 32), vertex_colors=c)
+        return jnp.sum(out["rgb"])
+
+    gr = jax.grad(loss)(v)
+    assert np.isfinite(np.asarray(gr)).all()

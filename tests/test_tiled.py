@@ -105,8 +105,9 @@ def test_pallas_bwd_matches_jnp_autodiff():
         return jnp.vdot(composite_gathered(geom, feat, counts, tiles_x, CFG), gout)
 
     dgeom_ad, dfeat_ad = jax.grad(f, argnums=(0, 1))(geom, feat)
+    dlim = jnp.full((geom.shape[0], CFG.tile_size ** 2, 1), jnp.inf, jnp.float32)
     dgeom_k, dfeat_k = composite_bwd_pallas(
-        geom, feat, counts, gout, tiles_x=tiles_x, cfg=CFG, interpret=True)
+        geom, feat, counts, dlim, gout, tiles_x=tiles_x, cfg=CFG, interpret=True)
 
     # feature rows 4..7 of feat are synthetic (ones/zeros) — not compared.
     np.testing.assert_allclose(np.asarray(dfeat_k)[:, :4], np.asarray(dfeat_ad)[:, :4],
