@@ -48,11 +48,13 @@ def build_covariance(quats, scales):
 
     Returns (..., 3, 3) symmetric PSD covariance. This is the 3DGS
     parameterization (role of the reference's delegated gsplat core,
-    SURVEY.md §2.2).
+    SURVEY.md §2.2). Full-f32 contraction: the TPU default would route
+    these tiny matmuls through bf16 MXU passes and visibly perturb the
+    projected covariances.
     """
     R = quat_to_rotmat(quats)
     RS = R * scales[..., None, :]         # R @ diag(s)
-    return RS @ jnp.swapaxes(RS, -1, -2)  # (RS)(RS)^T
+    return jnp.einsum("...ij,...kj->...ik", RS, RS, precision="highest")
 
 
 def transform_points(T, pts):

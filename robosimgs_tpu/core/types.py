@@ -105,7 +105,8 @@ class Gaussians:
         quats = np.zeros((cap, 4), np.float32)
         quats[:, 0] = 1.0
         if init_scale is None:
-            init_scale = _knn_mean_dist(points)
+            from robosimgs_tpu.native import knn_mean_dist
+            init_scale = knn_mean_dist(points, k=3)
         init_scale = np.broadcast_to(np.asarray(init_scale, np.float32).reshape(-1, 1), (n, 3))
         log_scales = np.full((cap, 3), -5.0, np.float32)
         log_scales[:n] = np.log(np.clip(init_scale, 1e-7, None))

@@ -151,3 +151,90 @@ def gather_tile_features(proj: Projected, sel: jax.Array, counts: jax.Array, cfg
     ones = jnp.ones_like(r)
     feat = jnp.stack([r, g, b, d, ones, zeros, zeros, zeros], axis=1)
     return geom, feat
+
+
+def bin_and_gather_packed(proj: Projected, width: int, height: int,
+                          cfg: RenderConfig):
+    """Optimized bin+gather for the training hot path.
+
+    Profile-driven redesign of bin_gaussians + gather_tile_features
+    (which dominated the train step): Gaussians are permuted into global
+    depth order first, so pair entries are generated already rank-ordered
+    and one *stable single-key* sort by tile id replaces the two-key
+    lexicographic sort; all sixteen per-tile feature rows come from a
+    single (T, K) row gather of a (N, 16) packed feature matrix (one
+    gather + one transpose instead of sixteen gathers).
+
+    Returns (geom (T,8,K), feat (T,8,K), counts (T,), stats). Gradients
+    flow to proj.* through the packed stack + two row gathers (their
+    transposes are row scatter-adds — the atomics-free accumulation).
+    """
+    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
+    T = tiles_x * tiles_y
+    n = proj.means2d.shape[0]
+    M = cfg.max_tiles_per_gaussian
+    K = cfg.tile_capacity
+
+    # Pack per-gaussian features: geom rows 0..7 then feat rows 0..7.
+    zeros = jnp.zeros_like(proj.depths)
+    ones = jnp.ones_like(proj.depths)
+    mask_f = proj.valid.astype(jnp.float32)
+    packed = jnp.stack([
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+        proj.opacities * mask_f,
+        jax.lax.stop_gradient(proj.depths), zeros,
+        proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+        proj.depths, ones, zeros, zeros, zeros,
+    ], axis=1)  # (N, 16)
+
+    # Global front-to-back permutation.
+    order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf))
+    packed_sorted = packed[order]
+    valid_s = proj.valid[order]
+    radii_s = proj.radii[order]
+    m2d_s = jax.lax.stop_gradient(proj.means2d)[order]
+
+    tx0, ty0, tx1, ty1 = tile_bbox(m2d_s, radii_s, tiles_x, tiles_y,
+                                   cfg.tile_size)
+    bw = (tx1 - tx0 + 1).clip(0)
+    cover = bw * (ty1 - ty0 + 1).clip(0)
+
+    e = jnp.arange(M, dtype=jnp.int32)[None, :]
+    bw_safe = jnp.maximum(bw, 1)[:, None]
+    valid_e = (e < cover[:, None]) & valid_s[:, None]
+    tid = (ty0[:, None] + e // bw_safe) * tiles_x + (tx0[:, None] + e % bw_safe)
+    tid = jnp.where(valid_e, tid, T).astype(jnp.int32)   # sentinel sorts last
+
+    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, M))
+    # entries are already depth-ordered (rows ascend in rank), so a
+    # stable sort by tile id alone preserves front-to-back order per tile
+    s_tid, s_gid = jax.lax.sort((tid.reshape(-1), gid.reshape(-1)),
+                                num_keys=1, is_stable=True)
+
+    bounds = jnp.searchsorted(s_tid, jnp.arange(T + 1, dtype=jnp.int32))
+    starts = bounds[:-1]
+    full_counts = (bounds[1:] - starts).astype(jnp.int32)
+    counts = jnp.minimum(full_counts, K)
+
+    idx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    sel = jnp.where(kmask, s_gid[jnp.clip(idx, 0, n * M - 1)], 0)
+    sel = jax.lax.stop_gradient(sel)
+
+    gathered = packed_sorted[sel]                        # (T, K, 16)
+    # padding entries must be inert: zero their opacity column
+    gathered = gathered.at[:, :, 5].set(
+        jnp.where(kmask, gathered[:, :, 5], 0.0))
+    gathered = jnp.swapaxes(gathered, 1, 2)              # (T, 16, K)
+    geom = gathered[:, :8]
+    feat = gathered[:, 8:]
+
+    stats = BinStats(
+        truncated_gaussians=jnp.sum((cover > M) & valid_s).astype(jnp.int32),
+        overflowed_tiles=jnp.sum(full_counts > K).astype(jnp.int32),
+        max_tile_count=jnp.max(full_counts).astype(jnp.int32),
+        total_pairs=jnp.sum(jnp.where(valid_s, jnp.minimum(cover, M), 0)
+                            ).astype(jnp.int32),
+    )
+    return geom, feat, counts, stats

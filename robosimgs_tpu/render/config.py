@@ -35,8 +35,9 @@ class RenderConfig:
     transmittance_min: float = 1.0e-4
     blur: float = 0.3
     near: float = 0.01
-    # static capacities
-    max_tiles_per_gaussian: int = 64
+    # static capacities (overflow/truncation is counted in BinStats,
+    # never silent; raise these for scenes with very large splats)
+    max_tiles_per_gaussian: int = 32
     tile_capacity: int = 1024
     # reference-path pixel block rows processed at once (memory knob)
     ref_rows_per_block: int = 32

@@ -70,14 +70,18 @@ def project(
     R_cw = w2c[:3, :3]
     t_cw = w2c[:3, 3]
 
-    t = g.means @ R_cw.T + t_cw  # (N, 3) camera-space centers
+    # full-f32 contractions (precision="highest"): TPU's default bf16
+    # MXU passes shift projected centers by ~0.3px and depths by ~1e-2,
+    # breaking cross-backend parity
+    t = jnp.einsum("nj,ij->ni", g.means, R_cw, precision="highest") + t_cw
     tz = t[:, 2]
     in_front = tz > cfg.near
     tz_safe = jnp.where(in_front, tz, 1.0)
 
     # 3D covariance rotated into the camera frame.
     cov3d = build_covariance(g.normalized_quats(), g.scales())
-    cov_cam = R_cw @ cov3d @ R_cw.T  # (N, 3, 3)
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R_cw, cov3d, R_cw,
+                         precision="highest")
 
     # Perspective Jacobian with the reference's 1.3x-FOV clamping of the
     # projected center (stabilizes far-off-screen Gaussians).

@@ -17,7 +17,9 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from robosimgs_tpu.render.binning import bin_gaussians, gather_tile_features
+from robosimgs_tpu.render.binning import (bin_and_gather_packed,
+                                          bin_gaussians,
+                                          gather_tile_features)
 from robosimgs_tpu.render.config import RenderConfig
 from robosimgs_tpu.render.gathered import (composite_gathered, tile_image,
                                            untile)
@@ -68,10 +70,8 @@ def composite_tiled(
         background = jnp.zeros((3,), jnp.float32)
     tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
 
-    sel, counts, stats = bin_gaussians(proj, width, height, cfg)
-    sel = jax.lax.stop_gradient(sel)
+    geom, feat, counts, stats = bin_and_gather_packed(proj, width, height, cfg)
     counts = jax.lax.stop_gradient(counts)
-    geom, feat = gather_tile_features(proj, sel, counts, cfg)
 
     P = cfg.tile_size * cfg.tile_size
     if depth_limit is None:
