@@ -200,3 +200,34 @@ class HFCLIPScorer:
         with torch.no_grad():
             out = self.model(**{k: v.to(self.device) for k, v in inputs.items()})
         return out.logits_per_image.softmax(dim=1)[0].cpu().numpy()
+
+
+class HFBlip2Captioner:
+    """HuggingFace BLIP-2 captioner (the reference's object captioner,
+    `gpt_utils.py:185-214`: fp16 BLIP-2 OPT-2.7B with the "a photo of"
+    prefix prompt). Requires downloaded weights; offline environments
+    use StaticCaptioner / a scripted fake."""
+
+    def __init__(self, model_name: str = "Salesforce/blip2-opt-2.7b",
+                 device: str = "cpu", prompt: str = "a photo of"):
+        import torch
+        from transformers import AutoProcessor, Blip2ForConditionalGeneration
+
+        dtype = torch.float16 if device != "cpu" else torch.float32
+        self.processor = AutoProcessor.from_pretrained(model_name)
+        self.model = Blip2ForConditionalGeneration.from_pretrained(
+            model_name, torch_dtype=dtype).to(device)
+        self.device = device
+        self.prompt = prompt
+
+    def caption(self, image: np.ndarray) -> str:
+        import torch
+
+        img = np.clip(image * 255 if image.dtype != np.uint8 else image,
+                      0, 255).astype(np.uint8)
+        inputs = self.processor(images=img, text=self.prompt,
+                                return_tensors="pt").to(self.device)
+        with torch.no_grad():
+            out = self.model.generate(**inputs, max_new_tokens=30)
+        text = self.processor.batch_decode(out, skip_special_tokens=True)[0]
+        return (self.prompt + " " + text.strip()).strip()

@@ -32,6 +32,14 @@ VIEW_DIRECTIONS: Dict[str, np.ndarray] = {
     "bottom": np.array([0.0, 0.0, -1.0]),
 }
 
+# The reference's SimpleSegmenter variant works from two oblique views
+# (`simple_segmenter.py:414-524`); selectable via view_names.
+OBLIQUE_DIRECTIONS: Dict[str, np.ndarray] = {
+    "top_oblique": np.array([0.7, -0.7, 0.8]),
+    "bottom_oblique": np.array([0.7, -0.7, -0.8]),
+}
+ALL_DIRECTIONS = {**VIEW_DIRECTIONS, **OBLIQUE_DIRECTIONS}
+
 MARKER_COLORS: List[Tuple[str, Tuple[float, float, float]]] = [
     ("RED", (1.0, 0.0, 0.0)), ("GREEN", (0.0, 1.0, 0.0)),
     ("BLUE", (0.0, 0.0, 1.0)), ("YELLOW", (1.0, 1.0, 0.0)),
@@ -108,12 +116,17 @@ def render_canonical_views(
     fov_deg: float = 50.0,
     distance_factor: float = 2.0,
     markers: Optional[Sequence[Tuple[np.ndarray, Tuple[float, float, float]]]] = None,
+    view_names: Optional[Sequence[str]] = None,
 ) -> Dict[str, Dict]:
-    """Render the six canonical views (clean + marked); optionally write
-    view_*.png / view_*_marked.png / camera_params.json artifacts."""
+    """Render the canonical views (clean + marked); optionally write
+    view_*.png / view_*_marked.png / camera_params.json artifacts.
+    view_names selects a subset / oblique variants (default: the six
+    axis-aligned views)."""
     views = {}
     cam_params = {}
-    for name, direction in VIEW_DIRECTIONS.items():
+    names = list(view_names) if view_names else list(VIEW_DIRECTIONS)
+    for name in names:
+        direction = ALL_DIRECTIONS[name]
         cam = view_camera(mesh, direction, resolution, fov_deg, distance_factor)
         clean = render_view(mesh, cam)
         marked = render_view(mesh, cam, markers=markers) if markers else clean

@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple  # noqa: F401
 
 import cv2
 import numpy as np
@@ -132,6 +132,7 @@ class Segmenter:
         mask_dilate_px: int = 10,
         min_mask_area: float = 0.0,
         max_mask_area: float = 0.7,
+        view_names: Optional[Sequence[str]] = None,
     ):
         self.mesh = mesh
         self.out_dir = out_dir
@@ -142,6 +143,9 @@ class Segmenter:
         self.mask_dilate_px = mask_dilate_px
         self.min_mask_area = min_mask_area
         self.max_mask_area = max_mask_area
+        # None = the six axis-aligned views; the reference's
+        # SimpleSegmenter style uses ("top_oblique", "bottom_oblique")
+        self.view_names = view_names
 
     # -- stage 1: point selection ----------------------------------------
 
@@ -166,7 +170,8 @@ class Segmenter:
         markers = [(np.asarray(s["position"]), MARKER_COLORS[i % len(MARKER_COLORS)][1])
                    for i, s in enumerate(selected)]
         return render_canonical_views(self.mesh, out_dir=self.out_dir,
-                                      resolution=self.resolution, markers=markers)
+                                      resolution=self.resolution, markers=markers,
+                                      view_names=self.view_names)
 
     # -- stage 3: best-view choice ---------------------------------------
 
@@ -230,6 +235,8 @@ class Segmenter:
                       if self.min_mask_area * hw <= m.sum() <= self.max_mask_area * hw]
         if not candidates:
             raise ValueError("no candidate masks within area bounds")
+        if self.out_dir:
+            self._dump_candidate_grid(image, candidates, prompt)
         if chosen_index is not None:
             best = candidates[chosen_index]
         elif marker_uv is not None:
@@ -272,6 +279,49 @@ class Segmenter:
                 save_mesh(os.path.join(self.out_dir, f"part_{color}.glb"), mesh)
         return parts
 
+    def _dump_candidate_grid(self, image: np.ndarray, candidates, prompt: str):
+        """Candidate-mask debug grid (the reference's observability-as-
+        testing artifact dumps, SURVEY.md §4 item 3)."""
+        from PIL import Image as PILImage
+
+        debug_dir = os.path.join(self.out_dir, "debug")
+        os.makedirs(debug_dir, exist_ok=True)
+        tiles = []
+        for m in candidates[:16]:
+            overlay = image.copy()
+            overlay[m] = 0.5 * overlay[m] + 0.5 * np.asarray([1.0, 0.2, 0.2])
+            tiles.append(overlay)
+        cols = min(4, len(tiles))
+        rows = -(-len(tiles) // cols)
+        H, W = image.shape[:2]
+        grid = np.ones((rows * H, cols * W, 3), np.float32)
+        for i, t in enumerate(tiles):
+            r, c = divmod(i, cols)
+            grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = t
+        safe = "".join(ch if ch.isalnum() else "_" for ch in prompt)[:40]
+        PILImage.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(debug_dir, f"candidates_{safe}.png"))
+
+    def load_cached(self) -> Optional[Dict]:
+        """Resume support: load prior selected_points/clip_prompts/mask
+        artifacts from out_dir (the reference's disk-cache resume,
+        `interactive_segmenter.py:1495-1534`)."""
+        if not self.out_dir:
+            return None
+        sp = os.path.join(self.out_dir, "selected_points.json")
+        cp = os.path.join(self.out_dir, "clip_prompts.json")
+        if not (os.path.exists(sp) and os.path.exists(cp)):
+            return None
+        cached = {"selected": json.load(open(sp)),
+                  "prompts": json.load(open(cp)), "masks": {}}
+        for f in os.listdir(self.out_dir):
+            if f.startswith("mask_") and f.endswith(".npy"):
+                color_view = f[len("mask_"):-len(".npy")]
+                color, view = color_view.split("_", 1)
+                cached["masks"][(color, view)] = np.load(
+                    os.path.join(self.out_dir, f))
+        return cached
+
     # -- full pipeline ----------------------------------------------------
 
     def run(
@@ -280,7 +330,26 @@ class Segmenter:
         part_names: Optional[Sequence[str]] = None,
         best_view: Optional[str] = None,
         mask_index: Optional[int] = None,
+        resume: bool = False,
     ) -> SegmentationResult:
+        if resume:
+            cached = self.load_cached()
+            if cached and cached["masks"]:
+                prompts = cached["prompts"]
+                (color0, view), mask = next(iter(
+                    ((cv, m) for cv, m in cached["masks"].items()
+                     if cv[0] == list(prompts)[0])), ((None, None), None))
+                if mask is not None:
+                    cam = render_canonical_views(
+                        self.mesh, resolution=self.resolution,
+                        view_names=[view])[view]["camera"]
+                    parts = self.split_and_export(mask.astype(bool), cam,
+                                                  prompts, view)
+                    colors = list(prompts)
+                    return SegmentationResult(
+                        parts=parts, prompts=prompts, best_view=view,
+                        masks={colors[0]: mask.astype(bool),
+                               colors[1]: ~mask.astype(bool)})
         selected = self.select_points(points)
         views = self.render_views(selected)
         view = self.choose_best_view(views, best_view)

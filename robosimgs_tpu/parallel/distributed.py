@@ -151,3 +151,128 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, impl: str = "tiled",
         return sharded(state, cam_batch, targets)
 
     return train_step
+
+
+# -- gaussian-sharded training (the TP/ZeRO analog, SURVEY.md §2.3) -------
+
+
+def _leading_dim_specs(tree, n: int, axis_name: str):
+    """P(axis_name) for every leaf whose leading dim == n, else P()."""
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+            return P(axis_name)
+        return P()
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
+                                     impl: str = "tiled",
+                                     return_grads: bool = False) -> Callable:
+    """Train step with the GAUSSIAN SET sharded over the 'data' axis.
+
+    The memory-scaling strategy for beyond-HBM scenes (BASELINE.md
+    config 5, SURVEY.md §2.3 "TP" row): parameters, Adam moments, and
+    densify statistics live sharded; each device projects only its
+    shard (O(N/n) work), then all-gathers the compact *projected*
+    splats (16 floats/gaussian vs 59+ raw parameters) so every tile
+    rank composites its image rows against the full set. The
+    all_gather's transpose reduce-scatters pixel cotangents straight
+    back to the owning shard, so per-Gaussian gradients and the Adam
+    update never materialize unsharded. One camera per step
+    (replicated).
+
+    Gradient bookkeeping: the loss is computed redundantly on every
+    device; the 'data' all_gather transpose sums n_shard identical
+    cotangents and the 'tile' transpose sums n_tile, so each device
+    holds n_shard*n_tile * dL_t/dshard where L_t is its own rows'
+    contribution. The true shard gradient is psum over 'tile' divided
+    by n_shard*n_tile.
+
+    Returns train_step(state, camera, target) -> (state, metrics);
+    state arrays with leading dim == capacity are sharded on 'data'.
+    """
+    import optax
+
+    from robosimgs_tpu.render.project import project
+    from robosimgs_tpu.render.reference import composite_reference
+    from robosimgs_tpu.render.tiled import composite_tiled
+    from robosimgs_tpu.train.densify import update_stats
+    from robosimgs_tpu.train.optim import FLOAT_FIELDS
+
+    optimizer = make_optimizer(cfg.optim, cfg.scene_extent)
+    n_shard = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+
+    def per_device(state: TrainState, camera: Camera, target: jax.Array):
+        g = state.gaussians                      # local shard
+        mask = _sh_mask(state.step, cfg.sh_warmup_every, g.sh_rest.shape[1])
+        tile_rank = jax.lax.axis_index("tile")
+        H = camera.height
+        rows = H // n_tile
+        bg = jnp.asarray(cfg.background, jnp.float32)
+
+        def loss_fn(params, offset):
+            p = g.replace(**{**params, "sh_rest": params["sh_rest"] * mask})
+            crop = _crop_camera_rows(camera, tile_rank * rows, rows)
+            proj_local = project(p, crop, cfg.render, means2d_offset=offset,
+                                 tan_half_fov=camera.tan_half_fov)
+            proj = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, "data", axis=0, tiled=True),
+                proj_local)
+            if impl == "reference":
+                out = composite_reference(proj, crop.width, rows, cfg.render, bg)
+            else:
+                out = composite_tiled(proj, crop.width, rows, cfg.render, bg)
+            rgb_full = jax.lax.all_gather(out["rgb"], "tile", axis=0, tiled=True)
+            loss = photometric_loss(rgb_full, target, cfg.ssim_lambda)
+            return loss, (psnr(rgb_full, target), proj_local.radii,
+                          proj_local.valid)
+
+        params = float_params(g)
+        offset = jnp.zeros((g.capacity, 2), jnp.float32)
+        (loss, (psnr_v, radii, valid)), (p_grads, offset_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, offset)
+
+        scale = 1.0 / (n_shard * n_tile)
+        p_grads = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x * scale, "tile"), p_grads)
+        offset_grad = jax.lax.psum(offset_grad * scale, "tile")
+        radii = jax.lax.pmax(radii, "tile")
+        valid = jax.lax.psum(valid.astype(jnp.int32), "tile") > 0
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "tile"), "data")
+        psnr_v = jax.lax.pmean(jax.lax.pmean(psnr_v, "tile"), "data")
+
+        dstate = update_stats(state.densify_state, offset_grad, radii, valid,
+                              camera.width, H)
+        updates, opt_state = optimizer.update(p_grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_g = g.replace(**new_params)
+        new_state = TrainState(gaussians=new_g, opt_state=opt_state,
+                               densify_state=dstate, step=state.step + 1,
+                               key=state.key)
+        metrics = {"loss": loss, "psnr": psnr_v,
+                   "n_alive": jax.lax.psum(new_g.num_alive, "data")}
+        if return_grads:
+            metrics["grads"] = p_grads
+        return new_state, metrics
+
+    cache = {}
+
+    def train_step(state, camera, target):
+        treedef = jax.tree_util.tree_structure(state)
+        if treedef not in cache:
+            cap = state.gaussians.capacity
+            state_specs = _leading_dim_specs(
+                jax.eval_shape(lambda s: s, state), cap, "data")
+            metric_specs = {"loss": P(), "psnr": P(), "n_alive": P()}
+            if return_grads:
+                metric_specs["grads"] = {k: P("data") for k in FLOAT_FIELDS}
+            sharded = jax.shard_map(
+                per_device, mesh=mesh,
+                in_specs=(state_specs, P(), P()),
+                out_specs=(state_specs, metric_specs),
+                check_vma=False)
+            cache[treedef] = jax.jit(sharded, donate_argnums=(0,))
+        return cache[treedef](state, camera, target)
+
+    return train_step

@@ -166,13 +166,16 @@ class Trainer:
     def run(self, iterations: Optional[int] = None, progress: bool = True):
         cfg = self.cfg
         iters = iterations or cfg.iterations
-        targets = self.targets()
+        # upload targets once; track the step python-side — forcing
+        # int(state.step) would sync the device every iteration
+        targets = [jnp.asarray(t) for t in self.targets()]
+        step0 = int(self.state.step)
         t0 = time.time()
         for i in range(iters):
-            step = int(self.state.step)
+            step = step0 + i
             idx = step % len(self.frames)
             cam = self.frames[idx].camera
-            target = jnp.asarray(targets[idx])
+            target = targets[idx]
             self.state, metrics = self._train_step(self.state, cam, target)
 
             if (cfg.densify_from <= step < cfg.densify_until
@@ -219,3 +222,26 @@ class Trainer:
 
         ckpt = ocp.StandardCheckpointer()
         self.state = ckpt.restore(path, self.state)
+
+    def resume_latest(self) -> bool:
+        """Preemption recovery: restore the newest checkpoint in
+        cfg.checkpoint_dir if any (the elastic-restart mechanism of
+        SURVEY.md §5 — deterministic camera order makes the resumed run
+        continue the exact data schedule). Returns True if restored."""
+        import os
+
+        d = self.cfg.checkpoint_dir
+        if not d or not os.path.isdir(d):
+            return False
+        steps = []
+        for name in os.listdir(d):
+            if name.startswith("step_"):
+                try:
+                    steps.append((int(name.split("_", 1)[1]), name))
+                except ValueError:
+                    continue
+        if not steps:
+            return False
+        _, latest = max(steps)
+        self.restore_checkpoint(os.path.join(d, latest))
+        return True

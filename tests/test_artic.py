@@ -277,3 +277,53 @@ def test_physics_estimate_pbd_no_mllm():
     assert est.method == "pbd"
     assert not est.refined
     assert "stretch_compliance" in est.params
+
+
+# -- visual prompting ------------------------------------------------------
+
+def test_blur_mask_prompt():
+    import jax.numpy as jnp
+
+    from robosimgs_tpu.artic.visual_prompt import blur_mask_prompt, crop_prompt
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+    mask = np.zeros((64, 64), bool)
+    mask[20:40, 20:40] = True
+    out = np.asarray(blur_mask_prompt(img, jnp.asarray(mask), std=50.0))
+    # inside the mask: untouched; outside: smoothed (lower variance)
+    np.testing.assert_allclose(out[mask], np.asarray(img)[mask], atol=1e-6)
+    assert out[~mask].std() < np.asarray(img)[~mask].std() * 0.6
+
+    crop = crop_prompt(np.asarray(img), mask, pad=4)
+    assert crop.shape[0] <= 28 + 1 and crop.shape[1] <= 28 + 1
+
+
+def test_segmenter_resume_and_debug_grid(tmp_path):
+    m = box_mesh((0.4, 0.4, 0.4))
+    seg = Segmenter(m, out_dir=str(tmp_path), mask_generator=TopHalfMaskGen(),
+                    resolution=64, mask_dilate_px=1,
+                    view_names=["front"])
+    res1 = seg.run(points=[[0.0, -0.4, 0.35], [0.0, -0.4, -0.35]],
+                   part_names=["lid", "body"], best_view="front")
+    assert (tmp_path / "debug").exists()
+    assert any(f.startswith("candidates_") for f in
+               __import__("os").listdir(tmp_path / "debug"))
+    # resume from artifacts only (new segmenter instance)
+    seg2 = Segmenter(m, out_dir=str(tmp_path), resolution=64,
+                     view_names=["front"])
+    res2 = seg2.run(points=[], resume=True)
+    assert res2.best_view == "front"
+    assert res2.prompts == res1.prompts
+    a = res1.parts["RED"].vertices
+    b = res2.parts["RED"].vertices
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_oblique_views_mode(tmp_path):
+    from robosimgs_tpu.artic.render_views import render_canonical_views
+    m = box_mesh((0.3, 0.3, 0.3))
+    views = render_canonical_views(m, resolution=48,
+                                   view_names=["top_oblique", "bottom_oblique"])
+    assert set(views) == {"top_oblique", "bottom_oblique"}
+    for v in views.values():
+        assert np.isfinite(v["clean"]).all()

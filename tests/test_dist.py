@@ -82,3 +82,36 @@ def test_dp_step_runs_with_pallas_interpret():
     new_state, metrics = step_fn(state, cam_batch, tgt)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_gaussian_sharded_step_matches_single_device():
+    """ZeRO-style sharded-gaussian step: gradients for each shard must
+    match the corresponding rows of the single-device gradient."""
+    from robosimgs_tpu.parallel.distributed import \
+        make_gaussian_sharded_train_step
+
+    cfg, frames, targets, state, optimizer = setup(n_cams=1)
+    mesh = make_mesh(4, 2)
+    step_fn = make_gaussian_sharded_train_step(cfg, mesh, impl="reference",
+                                               return_grads=True)
+    state_copy = jax.tree_util.tree_map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+    new_state, metrics = step_fn(state_copy, frames[0].camera,
+                                 jnp.asarray(targets[0]))
+
+    g = state.gaussians
+
+    def loss_fn(params):
+        p = g.replace(**{**params, "sh_rest": params["sh_rest"] * 0.0})
+        out = rasterize(p, frames[0].camera, cfg.render, impl="reference")
+        return photometric_loss(out["rgb"], jnp.asarray(targets[0]),
+                                cfg.ssim_lambda)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(float_params(g))
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref), rtol=1e-5)
+    for k in grads_ref:
+        np.testing.assert_allclose(np.asarray(metrics["grads"][k]),
+                                   np.asarray(grads_ref[k]), atol=2e-6,
+                                   err_msg=k)
+    assert int(metrics["n_alive"]) == int(g.num_alive)
+    assert int(new_state.step) == 1

@@ -117,3 +117,31 @@ def test_train_eval_split():
     frames = [Frame(camera=None) for _ in range(16)]
     tr, ev = train_eval_split(frames, 8)
     assert len(tr) == 14 and len(ev) == 2
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    gt, frames = synthetic_scene(seed=2, n_gaussians=20, n_cameras=3,
+                                 width=32, height=32, sh_degree=1)
+    cfg = TrainConfig(iterations=6, render=RenderConfig(ref_gaussian_chunk=32,
+                                                        tile_capacity=128),
+                      impl="reference", densify_from=10_000,
+                      opacity_reset_interval=10_000, log_every=100,
+                      checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=5)
+    from robosimgs_tpu.render.rasterize import rasterize
+    for f in frames:
+        f.image = np.asarray(rasterize(gt, f.camera, cfg.render,
+                                       impl="reference")["rgb"])
+    init = Gaussians.random(jax.random.PRNGKey(1), 20, sh_degree=1)
+    tr = Trainer(cfg, init, frames)
+    tr.run(progress=False)
+    assert int(tr.state.step) == 6
+    # fresh trainer resumes from the step-5 checkpoint
+    tr2 = Trainer(cfg, init, frames)
+    assert tr2.resume_latest()
+    assert int(tr2.state.step) == 6  # saved post-update at loop step 5
+    np.testing.assert_allclose(np.asarray(tr2.state.gaussians.means).sum(),
+                               np.asarray(tr.state.gaussians.means).sum(),
+                               rtol=0.5)  # same run lineage, close state
+    # trainer without checkpoints reports False
+    cfg2 = dataclasses.replace(cfg, checkpoint_dir=str(tmp_path / "none"))
+    assert not Trainer(cfg2, init, frames).resume_latest()
