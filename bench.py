@@ -85,6 +85,19 @@ def main():
     print(f"train step: {dt*1000:.2f} ms/iter ({iters_per_sec:.2f} it/s) "
           f"@ {N_GAUSSIANS} gaussians, {RES}x{RES}", file=err)
 
+    # secondary diagnostic: forward-only render throughput
+    fwd = jax.jit(lambda p: composite_tiled(
+        project(g.replace(**p), cam, cfg), RES, RES, cfg)["rgb"])
+    r = fwd(params)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    for _ in range(ITERS):
+        r = fwd(params)
+    jax.block_until_ready(r)
+    fdt = (time.time() - t0) / ITERS
+    print(f"fwd-only render: {fdt*1000:.2f} ms ({1/fdt:.1f} fps, "
+          f"{N_GAUSSIANS/fdt/1e6:.2f}M gaussians/s)", file=err)
+
     vs = value / BENCH_R1 if BENCH_R1 else 1.0
     print(json.dumps({
         "metric": "gaussians_rasterized_per_sec_per_chip_fwd_bwd",

@@ -208,9 +208,19 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
 
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, M))
     # entries are already depth-ordered (rows ascend in rank), so a
-    # stable sort by tile id alone preserves front-to-back order per tile
-    s_tid, s_gid = jax.lax.sort((tid.reshape(-1), gid.reshape(-1)),
-                                num_keys=1, is_stable=True)
+    # stable sort by tile id alone preserves front-to-back order per
+    # tile. When (tid, gid) fits in 31 bits, pack both into ONE int32
+    # key — sorting by (tid << bits | gid) equals the stable sort (gid
+    # ascends with rank) and halves sort bandwidth (no payload array).
+    gid_bits = max(1, (n - 1).bit_length())
+    if (T + 1) << gid_bits <= 2**31:
+        packed_key = (tid.reshape(-1) << gid_bits) | gid.reshape(-1)
+        s_key = jax.lax.sort(packed_key)
+        s_tid = s_key >> gid_bits
+        s_gid = s_key & ((1 << gid_bits) - 1)
+    else:
+        s_tid, s_gid = jax.lax.sort((tid.reshape(-1), gid.reshape(-1)),
+                                    num_keys=1, is_stable=True)
 
     bounds = jnp.searchsorted(s_tid, jnp.arange(T + 1, dtype=jnp.int32))
     starts = bounds[:-1]

@@ -45,9 +45,12 @@ class ArticulatedObject:
             base_pose=base_pose if base_pose is not None
             else np.eye(4, dtype=np.float32))
 
-    def posed_meshes(self, q) -> List[tuple]:
-        """World-space (vertices, faces, colors) per link at joint config q."""
-        T = self.model.fk(q, base=self.base_pose)
+    def posed_meshes(self, q, base_pose=None) -> List[tuple]:
+        """World-space (vertices, faces, colors) per link at joint config q.
+        base_pose overrides the object's resting pose (moving objects in
+        manipulation rollouts)."""
+        T = self.model.fk(q, base=self.base_pose if base_pose is None
+                          else base_pose)
         out = []
         for name, mesh in self.link_meshes.items():
             link = self.model.links[name]
@@ -62,6 +65,16 @@ class ArticulatedObject:
         return out
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_composite(cfg: RenderConfig, mesh_cfg: MeshRasterConfig, impl: str):
+    """One compiled composite per (config, shapes): all rollout frames
+    with equal camera resolution and mesh topology reuse it."""
+    def fn(background, camera, meshes, bg_color):
+        return render_composite(background, camera, list(meshes), cfg,
+                                mesh_cfg, background=bg_color, impl=impl)["rgb"]
+    return jax.jit(fn)
+
+
 def render_rollout(
     background: Gaussians,
     objects: Sequence[ArticulatedObject],
@@ -71,24 +84,32 @@ def render_rollout(
     mesh_cfg: MeshRasterConfig = MeshRasterConfig(),
     background_color: Optional[jax.Array] = None,
     impl: str = "auto",
+    base_poses: Optional[np.ndarray] = None,   # (T, n_objects, 4, 4)
 ) -> np.ndarray:
     """Render (T, C, H, W, 3) rollout frames.
 
     trajectory columns are the concatenation of each object's movable
-    joints in order.
+    joints in order; base_poses optionally moves each object rigidly per
+    timestep (sim manipulation trajectories: the object is grasped and
+    carried while its joints articulate). Rendering is jitted once per
+    camera resolution / mesh topology (posed vertices and camera
+    pytrees are traced values), so a T x C rollout pays one compile.
     """
+    if impl == "auto":
+        impl = "reference" if jax.default_backend() == "cpu" else "tiled"
+    bg_color = (jnp.zeros((3,), jnp.float32) if background_color is None
+                else jnp.asarray(background_color))
+    comp = _jitted_composite(cfg, mesh_cfg, impl)
     frames = []
     dof_split = np.cumsum([o.model.dof for o in objects])[:-1] if objects else []
     for t in range(trajectory.shape[0]):
         qs = np.split(np.asarray(trajectory[t]), dof_split) if objects else []
         meshes = []
-        for obj, q in zip(objects, qs):
-            meshes.extend(obj.posed_meshes(q))
-        cams_out = []
-        for cam in cameras:
-            out = render_composite(background, cam, meshes, cfg, mesh_cfg,
-                                   background=background_color, impl=impl)
-            cams_out.append(out["rgb"])
+        for i, (obj, q) in enumerate(zip(objects, qs)):
+            base = base_poses[t, i] if base_poses is not None else None
+            meshes.extend(obj.posed_meshes(q, base_pose=base))
+        cams_out = [comp(background, cam, tuple(meshes), bg_color)
+                    for cam in cameras]
         frames.append(jnp.stack(cams_out))
     return np.asarray(jnp.stack(frames))
 

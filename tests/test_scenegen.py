@@ -137,3 +137,21 @@ def test_reference_urdf_parses():
     assert np.isfinite(T["lid"]).all()
     # hinge joint dynamics carried through
     assert m.movable[0].friction == 0.5
+
+
+def test_render_rollout_with_base_poses(tmp_path):
+    save_mesh(str(tmp_path / "body.glb"), box_mesh())
+    save_mesh(str(tmp_path / "lid.glb"), box_mesh((0.5, 0.5, 0.05)))
+    (tmp_path / "robot.urdf").write_text(BOX_URDF)
+    obj = ArticulatedObject.from_urdf(str(tmp_path / "robot.urdf"))
+    bg = Gaussians.random(jax.random.PRNGKey(0), 30, sh_degree=1, extent=2.0)
+    cams = [Camera.look_at([3, 0.5, 1.5], [0, 0, 0], [0, 0, 1], 60.0, 32, 32)]
+    traj = np.zeros((2, 1), np.float32)   # joints fixed
+    poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1, 1))
+    poses[1, 0, :3, 3] = [0.0, 0.5, 0.0]  # object slides between frames
+    frames = render_rollout(bg, [obj], traj, cams,
+                            cfg=RenderConfig(tile_capacity=128),
+                            impl="reference", base_poses=poses)
+    assert frames.shape[0] == 2
+    # object moved: frames differ even with fixed joints
+    assert np.abs(frames[0] - frames[1]).max() > 1e-3
