@@ -104,6 +104,20 @@ def rasterize_mesh(
 
     def one_tile(args):
         t_idx, uvk, invzk, colk, areak, fidk, count = args
+        # lax.map lowers to a scan, so this cond is real control flow:
+        # the ~all-empty tiles of a small mesh skip the (P, K) math.
+        return jax.lax.cond(count > 0, _tile_work,
+                            lambda a: _empty_tile(ts), args)
+
+    def _empty_tile(ts_):
+        P_ = ts_ * ts_
+        out = jnp.zeros((8, P_), jnp.float32)
+        out = out.at[3].set(jnp.inf)     # depth
+        out = out.at[5].set(-1.0)        # face id
+        return out
+
+    def _tile_work(args):
+        t_idx, uvk, invzk, colk, areak, fidk, count = args
         ox = (t_idx % tiles_x) * ts
         oy = (t_idx // tiles_x) * ts
         p = jnp.arange(P, dtype=jnp.int32)

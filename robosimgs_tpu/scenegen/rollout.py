@@ -67,8 +67,12 @@ class ArticulatedObject:
 
 @functools.lru_cache(maxsize=8)
 def _jitted_composite(cfg: RenderConfig, mesh_cfg: MeshRasterConfig, impl: str):
-    """One compiled composite per (config, shapes): all rollout frames
-    with equal camera resolution and mesh topology reuse it."""
+    """One compiled composite per (config, shapes): every (timestep,
+    camera) render of a rollout reuses it. (Batching all cameras into a
+    lax.map body was tried and compiles pathologically slowly — the
+    scan body would contain the full sort+Pallas pipeline; per-camera
+    dispatch keeps compiles ~1 camera-sized and calls are queued
+    asynchronously anyway.)"""
     def fn(background, camera, meshes, bg_color):
         return render_composite(background, camera, list(meshes), cfg,
                                 mesh_cfg, background=bg_color, impl=impl)["rgb"]

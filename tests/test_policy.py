@@ -1,0 +1,115 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robosimgs_tpu.policy.diffusion import (DiffusionPolicy,
+                                            DiffusionPolicyConfig,
+                                            NoiseSchedule,
+                                            cosine_time_embedding,
+                                            sample_actions)
+from robosimgs_tpu.policy.trainer import (PolicyTrainConfig, PolicyTrainer,
+                                          RolloutDataset)
+
+SMALL = DiffusionPolicyConfig(action_dim=2, horizon=4, obs_horizon=1,
+                              image_size=(24, 24), state_dim=2,
+                              embed_dim=32, hidden_dim=64, n_blocks=2,
+                              diffusion_steps=20)
+
+
+def toy_dataset(n_eps=6, ep_len=24, seed=0):
+    """Actions deterministically encode the observation (a colored square
+    whose position/brightness equals the state); learnable mapping."""
+    rng = np.random.default_rng(seed)
+    images, states, actions, ends = [], [], [], []
+    count = 0
+    for _ in range(n_eps):
+        phase = rng.uniform(0, 2 * np.pi)
+        for t in range(ep_len):
+            s = np.array([np.sin(0.3 * t + phase), np.cos(0.3 * t + phase)],
+                         np.float32)
+            img = np.zeros((24, 24, 3), np.float32)
+            cx = int((s[0] + 1) / 2 * 20) + 2
+            cy = int((s[1] + 1) / 2 * 20) + 2
+            img[cy - 2:cy + 2, cx - 2:cx + 2] = 1.0
+            images.append(img)
+            states.append(s)
+            actions.append(0.8 * s)      # action = scaled state
+        count += ep_len
+        ends.append(count)
+    return RolloutDataset(images=np.stack(images), states=np.stack(states),
+                          actions=np.stack(actions), episode_ends=ends)
+
+
+def test_time_embedding_shape():
+    e = cosine_time_embedding(jnp.arange(5), 16)
+    assert e.shape == (5, 16)
+    assert np.isfinite(np.asarray(e)).all()
+
+
+def test_noise_schedule_endpoints():
+    s = NoiseSchedule.make(SMALL)
+    ac = np.asarray(s.alphas_cumprod)
+    assert 0 < ac[-1] < ac[0] < 1.0
+    # t=0 barely noises; t=T-1 mostly noise
+    x = jnp.ones((1, 4, 2))
+    n = jnp.zeros((1, 4, 2))
+    near = np.asarray(s.add_noise(x, n, jnp.array([0])))
+    np.testing.assert_allclose(near, np.sqrt(ac[0]) * np.ones_like(near), atol=1e-6)
+
+
+def test_model_forward_shapes():
+    model = DiffusionPolicy(SMALL)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((3, 1, 24, 24, 3))
+    st = jnp.zeros((3, 1, 2))
+    act = jnp.zeros((3, 4, 2))
+    params = model.init(key, img, st, act, jnp.zeros((3,), jnp.int32))
+    out = model.apply(params, img, st, act, jnp.zeros((3,), jnp.int32))
+    assert out.shape == (3, 4, 2)
+
+
+def test_sampling_shapes_and_determinism():
+    model = DiffusionPolicy(SMALL)
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((2, 1, 24, 24, 3))
+    st = jnp.zeros((2, 1, 2))
+    params = model.init(key, img, st, jnp.zeros((2, 4, 2)),
+                        jnp.zeros((2,), jnp.int32))
+    s = NoiseSchedule.make(SMALL)
+    a1 = sample_actions(model, params, s, img, st, jax.random.PRNGKey(7),
+                        n_steps=5)
+    a2 = sample_actions(model, params, s, img, st, jax.random.PRNGKey(7),
+                        n_steps=5)
+    assert a1.shape == (2, 4, 2)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+
+def test_dataset_windows_respect_episodes():
+    ds = toy_dataset(n_eps=2, ep_len=10)
+    w = ds.windows(obs_horizon=2, horizon=4)
+    # each episode of 10 allows starts 0..4 (2+4=6 consumed)
+    assert len(w) == 2 * 5
+    assert (w < 20).all()
+    assert not ((w > 4) & (w < 10)).any()  # no window crosses the boundary
+
+
+def test_policy_learns_toy_task():
+    """DDPM training on the toy task must beat the untrained policy by a
+    wide margin at predicting the (state-determined) actions."""
+    ds = toy_dataset()
+    cfg = PolicyTrainConfig(policy=SMALL, lr=3e-3, warmup_steps=10,
+                            total_steps=300, batch_size=32, ema_decay=0.9)
+    tr = PolicyTrainer(cfg, ds, seed=0)
+
+    obs_img = ds.images[:4][:, None]
+    obs_state = ds.states[:4][:, None]
+    target = 0.8 * ds.states[:4]
+
+    before = tr.predict(obs_img, obs_state, n_steps=10)
+    err_before = np.abs(before[:, 0] - target).mean()
+    tr.run(steps=300, log_every=100, progress=False)
+    after = tr.predict(obs_img, obs_state, n_steps=10)
+    err_after = np.abs(after[:, 0] - target).mean()
+    assert err_after < err_before * 0.5, (err_before, err_after)
+    assert err_after < 0.25, err_after
+    assert tr.history[-1]["loss"] < tr.history[0]["loss"]
