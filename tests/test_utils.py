@@ -93,3 +93,70 @@ def test_scene_splits():
     assert len(tr) == 16 and len(ev) == 4
     assert set(tr) | set(ev) == set(range(20))
     assert not set(tr) & set(ev)
+
+
+def test_checked_catches_nan():
+    import jax
+    import pytest
+
+    from robosimgs_tpu.utils.debug import assert_finite, checked
+
+    def bad(x):
+        return jnp.log(x)  # nan for negative input
+
+    f = checked(jax.jit(bad))
+    assert np.isfinite(float(f(jnp.asarray(2.0))))
+    with pytest.raises(Exception, match="nan"):
+        f(jnp.asarray(-1.0))
+
+    assert_finite({"a": jnp.ones(3)})
+    with pytest.raises(AssertionError, match="non-finite"):
+        assert_finite({"a": jnp.asarray([1.0, np.nan])})
+
+
+def test_colmap_roundtrip(tmp_path):
+    """Write a synthetic COLMAP sparse model and read it back."""
+    import struct
+
+    from robosimgs_tpu.utils.colmap import load_colmap
+    sparse = tmp_path / "sparse"
+    sparse.mkdir()
+
+    # cameras.bin: one PINHOLE camera
+    with open(sparse / "cameras.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", 1))
+        fh.write(struct.pack("<iiQQ", 1, 1, 64, 48))
+        fh.write(struct.pack("<4d", 100.0, 90.0, 32.0, 24.0))
+
+    # images.bin: two images; world->cam = identity and a translation
+    with open(sparse / "images.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", 2))
+        for i, t in enumerate([(0.0, 0.0, 0.0), (1.0, 0.0, 0.0)]):
+            fh.write(struct.pack("<idddddddi", i + 1, 1.0, 0, 0, 0,
+                                 t[0], t[1], t[2], 1))
+            fh.write(f"img_{i}.png".encode() + b"\x00")
+            fh.write(struct.pack("<Q", 1))                  # one 2D point
+            fh.write(struct.pack("<ddq", 1.0, 2.0, -1))
+
+    # points3D.bin: two points with a 2-entry track
+    with open(sparse / "points3D.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", 2))
+        for i in range(2):
+            fh.write(struct.pack("<QdddBBBd", i, float(i), 0.0, 2.0,
+                                 255, 128, 0, 0.5))
+            fh.write(struct.pack("<Q", 2))
+            fh.write(struct.pack("<ii", 1, 0) + struct.pack("<ii", 2, 0))
+
+    frames, xyz, rgb = load_colmap(str(sparse), images_dir="imgs")
+    assert len(frames) == 2
+    cam = frames[0].camera
+    assert float(cam.fx) == 100.0 and float(cam.fy) == 90.0
+    assert cam.width == 64
+    np.testing.assert_allclose(np.asarray(frames[0].camera.c2w),
+                               np.eye(4), atol=1e-6)
+    # second camera: w2c translation (1,0,0) -> c2w origin at (-1,0,0)
+    np.testing.assert_allclose(np.asarray(frames[1].camera.origin),
+                               [-1, 0, 0], atol=1e-6)
+    assert frames[0].image_path.endswith("img_0.png")
+    np.testing.assert_allclose(xyz, [[0, 0, 2], [1, 0, 2]], atol=1e-6)
+    np.testing.assert_allclose(rgb[0], [1.0, 128 / 255, 0.0], atol=1e-6)
