@@ -97,6 +97,64 @@ def train_eval_split(frames: List[Frame], eval_every: int = 8):
 # -- synthetic scenes (tests / benchmarks) --------------------------------
 
 
+def synthetic_mesh_scene(
+    seed: int,
+    n_cameras: int,
+    width: int,
+    height: int,
+    camera_distance: float = 3.0,
+) -> Tuple["object", List[Frame]]:
+    """A structured reconstruction target: a colorful multi-box scene
+    rendered with the mesh rasterizer from a camera ring. Unlike
+    synthetic_scene's random-splat targets (which are adversarially
+    unstructured), these targets have coherent surfaces — the realistic
+    convergence benchmark for 3DGS training. Returns (mesh, frames with
+    images filled in).
+    """
+    import jax.numpy as jnp
+
+    from robosimgs_tpu.render.mesh_raster import MeshRasterConfig, rasterize_mesh
+    from robosimgs_tpu.utils.meshio import Mesh, concatenate
+
+    rng = np.random.default_rng(seed)
+
+    def box(center, size, color):
+        sx, sy, sz = size
+        v = np.array([[x, y, z] for x in (-sx, sx) for y in (-sy, sy)
+                      for z in (-sz, sz)], np.float32) + np.asarray(center, np.float32)
+        f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                      [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                      [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+        c = np.tile(np.asarray(color, np.float32), (8, 1))
+        # vertex-color gradient for texture-like variation
+        c = c * (0.6 + 0.4 * rng.uniform(size=(8, 1)).astype(np.float32))
+        return Mesh(v, f, c)
+
+    parts = [box((0, 0, -0.55), (1.2, 1.2, 0.05), (0.8, 0.75, 0.7))]  # floor
+    for _ in range(6):
+        center = rng.uniform(-0.7, 0.7, 3) * np.array([1, 1, 0.3])
+        size = rng.uniform(0.08, 0.3, 3)
+        color = rng.uniform(0.2, 0.95, 3)
+        parts.append(box(center, size, color))
+    scene = concatenate(parts)
+
+    frames = []
+    mcfg = MeshRasterConfig(tile_capacity=512)
+    for i in range(n_cameras):
+        ang = 2 * np.pi * i / n_cameras
+        eye = [camera_distance * np.cos(ang), camera_distance * np.sin(ang),
+               1.2 + 0.3 * np.sin(2 * ang)]
+        cam = Camera.look_at(eye, [0, 0, -0.1], [0, 0, 1], 50.0, width, height)
+        out = rasterize_mesh(jnp.asarray(scene.vertices),
+                             jnp.asarray(scene.faces), cam,
+                             vertex_colors=jnp.asarray(scene.vertex_colors),
+                             cfg=mcfg)
+        img = np.where(np.asarray(out["mask"])[..., None],
+                       np.asarray(out["rgb"]), 1.0).astype(np.float32)
+        frames.append(Frame(camera=cam, image=img))
+    return scene, frames
+
+
 def synthetic_scene(
     seed: int,
     n_gaussians: int,

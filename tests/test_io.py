@@ -77,3 +77,14 @@ def test_synthetic_scene_shapes():
     assert gt.capacity == 30
     assert len(frames) == 4
     assert frames[0].camera.width == 32
+
+
+def test_synthetic_mesh_scene():
+    from robosimgs_tpu.train.data import synthetic_mesh_scene
+    mesh, frames = synthetic_mesh_scene(0, 4, 48, 36)
+    assert len(frames) == 4
+    for f in frames:
+        assert f.image.shape == (36, 48, 3)
+        assert np.isfinite(f.image).all()
+    # scene is actually visible (not all background)
+    assert frames[0].image.std() > 0.05
