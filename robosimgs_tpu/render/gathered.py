@@ -53,7 +53,7 @@ def composite_gathered(
         Tk = jnp.exp(excl)
         Ta = Tk * (1.0 - alpha)
         w = alpha * Tk * (Ta >= cfg.transmittance_min)
-        return jnp.einsum("ck,pk->cp", f, w)  # (8, P)
+        return jnp.einsum("ck,pk->cp", f, w, precision="highest")  # (8, P)
 
     T = geom.shape[0]
     t_idx = jnp.arange(T, dtype=jnp.int32)

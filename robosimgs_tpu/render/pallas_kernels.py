@@ -102,7 +102,8 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, out_ref, *, cfg: Rende
         w = alpha * Tk * (Ta >= cfg.transmittance_min)
         f = feat_ref[0, :, pl.ds(off, BK)]
         acc = acc + jax.lax.dot_general(
-            f, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            f, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         logT = logT + incl[:, BK - 1:BK]
         return i + 1, acc, logT
 
@@ -141,7 +142,8 @@ def _bwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, gout_ref, dgeom_ref, d
         w = alpha * Tk * (Tk * (1.0 - alpha) >= cfg.transmittance_min)
         f = feat_ref[0, :, pl.ds(off, BK)]
         gamma = jax.lax.dot_general(
-            gout, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)  # (P, BK)
+            gout, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (P, BK)
         R = R + jnp.sum(gamma * w, axis=1, keepdims=True)
         logT = logT + incl[:, BK - 1:BK]
         return i + 1, R, logT
@@ -167,7 +169,8 @@ def _bwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, gout_ref, dgeom_ref, d
         w = alpha * Tk * m
         f = feat_ref[0, :, pl.ds(off, BK)]
         gamma = jax.lax.dot_general(
-            gout, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)  # (P, BK)
+            gout, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (P, BK)
         gw = gamma * w
         incl_gw = prefix_gw + _cumsum_lanes(gw)
         suffix = R_total - incl_gw                      # sum over j > k
@@ -187,7 +190,8 @@ def _bwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, gout_ref, dgeom_ref, d
         dgeom_ref[0, :, pl.ds(off, BK)] = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop_s, zeros, zeros], axis=0)
         dfeat_ref[0, :, pl.ds(off, BK)] = jax.lax.dot_general(
-            gout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)  # (8, BK)
+            gout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (8, BK)
 
         prefix_gw = incl_gw[:, BK - 1:BK]
         logT = logT + incl[:, BK - 1:BK]

@@ -112,9 +112,9 @@ def composite_reference(
             T_after = Tk * (1.0 - alpha)
             w = alpha * Tk * (T_after >= cfg.transmittance_min)
 
-            rgb = rgb + w @ col
+            rgb = rgb + jnp.matmul(w, col, precision="highest")
             acc_a = acc_a + jnp.sum(w, axis=1)
-            acc_d = acc_d + w @ dep
+            acc_d = acc_d + jnp.matmul(w, dep[:, None], precision="highest")[:, 0]
             T_new = T * jnp.exp(csum[:, -1])
             return (T_new, rgb, acc_a, acc_d), None
 

@@ -47,10 +47,14 @@ def _blur(img: jax.Array, window: jax.Array) -> jax.Array:
     kw = jnp.broadcast_to(window.reshape(1, 1, 1, size), (c, 1, 1, size))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
     pad = size // 2
+    # full-f32 convs: TPU's default bf16 passes add gradient noise that
+    # measurably slows 3DGS convergence
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
-                                     dimension_numbers=dn, feature_group_count=c)
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
-                                     dimension_numbers=dn, feature_group_count=c)
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return x.transpose(0, 2, 3, 1)[0]
 
 

@@ -83,8 +83,13 @@ def _render_for_training(g: Gaussians, camera: Camera, cfg: TrainConfig,
     proj = project(g, camera, cfg.render, means2d_offset=offset)
     if impl == "reference":
         out = composite_reference(proj, camera.width, camera.height, cfg.render, bg)
+        out["overflow"] = jnp.int32(0)
     else:
-        out = composite_tiled(proj, camera.width, camera.height, cfg.render, bg)
+        out = composite_tiled(proj, camera.width, camera.height, cfg.render, bg,
+                              return_stats=True)
+        # truncation silently degrades quality AND gradients — surface it
+        out["overflow"] = (out["stats"].overflowed_tiles
+                           + out["stats"].truncated_gaussians)
     return out, proj
 
 
@@ -101,10 +106,10 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
             p = g.replace(**{**params, "sh_rest": params["sh_rest"] * mask})
             out, proj = _render_for_training(p, camera, cfg, offset, impl)
             loss = photometric_loss(out["rgb"], target, cfg.ssim_lambda)
-            return loss, (out["rgb"], proj.radii, proj.valid)
+            return loss, (out["rgb"], proj.radii, proj.valid, out["overflow"])
 
         params = float_params(g)
-        (loss, (rgb, radii, valid)), grads = jax.value_and_grad(
+        (loss, (rgb, radii, valid, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, offset)
         p_grads, offset_grad = grads
 
@@ -115,7 +120,7 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
         new_params = optax.apply_updates(params, updates)
         new_g = g.replace(**new_params)
         metrics = {"loss": loss, "psnr": psnr(rgb, target),
-                   "n_alive": g.num_alive}
+                   "n_alive": g.num_alive, "overflow": overflow}
         return TrainState(gaussians=new_g, opt_state=opt_state,
                           densify_state=dstate, step=state.step + 1,
                           key=state.key), metrics
@@ -192,8 +197,10 @@ class Trainer:
                 m["elapsed"] = time.time() - t0
                 self.history.append(m)
                 if progress:
+                    extra = (f" OVERFLOW={int(m['overflow'])}"
+                             if m.get("overflow") else "")
                     print(f"[{step:6d}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} "
-                          f"alive={int(m['n_alive'])} ({m['elapsed']:.1f}s)")
+                          f"alive={int(m['n_alive'])}{extra} ({m['elapsed']:.1f}s)")
             if cfg.checkpoint_dir and step > 0 and step % cfg.checkpoint_every == 0:
                 self.save_checkpoint()
         return self.state
