@@ -58,18 +58,26 @@ def main(argv=None):
                 [2.5 * np.cos(ang), 2.5 * np.sin(ang), 1.5], [0, 0, 0.3],
                 [0, 0, 1], 60.0, args.width, args.height))
 
+    base_poses = None
     if args.trajectory:
         if args.trajectory.endswith(".npy"):
             traj = np.load(args.trajectory)
         else:
-            traj = np.asarray(json.load(open(args.trajectory)), np.float32)
+            loaded = json.load(open(args.trajectory))
+            if isinstance(loaded, dict) and "steps" in loaded:
+                from robosimgs_tpu.scenegen.trajectory import load_trajectory
+                traj, base_poses = load_trajectory(
+                    args.trajectory, [o.model for o in objects])
+            else:
+                traj = np.asarray(loaded, np.float32)
     elif objects:
         trajs = [open_close_trajectory(o.model, args.steps) for o in objects]
         traj = np.concatenate(trajs, axis=1)
     else:
         traj = np.zeros((args.steps, 0), np.float32)
 
-    frames = render_rollout(background, objects, traj, cams, impl=args.impl)
+    frames = render_rollout(background, objects, traj, cams, impl=args.impl,
+                            base_poses=base_poses)
     os.makedirs(args.output, exist_ok=True)
     T, C = frames.shape[:2]
     for t in range(T):

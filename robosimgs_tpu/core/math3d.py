@@ -23,6 +23,41 @@ def quat_to_rotmat(q):
          jnp.stack([r20, r21, r22], -1)], -2)
 
 
+def rotmat_components(q):
+    """Unit quats (...,4) -> rotation matrix as a 3x3 nested tuple of
+    (...,) arrays. Keeps batched 3x3 algebra elementwise on the VPU —
+    (N,3,3) arrays put the 3-wide dims on 128-wide lanes (42x padding
+    waste) and route through MXU passes."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    )
+
+
+def camera_covariance_components(quats, scales, R_cw):
+    """Upper-triangular entries of Rcw (R S S^T R^T) Rcw^T, elementwise.
+
+    quats (...,4) unit, scales (...,3), R_cw static (3,3). Returns
+    (c00, c01, c02, c11, c12, c22), each (...,). This is the covariance
+    path of EWA projection with every contraction unrolled to (...,)
+    elementwise math — exact f32, no MXU, no (N,3,3) layouts.
+    """
+    R = rotmat_components(quats)
+    # M = R_cw @ R  (3x3 of (...,) arrays; R_cw entries are scalars)
+    M = [[sum(R_cw[i, k] * R[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    s0, s1, s2 = scales[..., 0], scales[..., 1], scales[..., 2]
+    sq = (s0 * s0, s1 * s1, s2 * s2)
+
+    def cov(i, j):
+        return (M[i][0] * M[j][0] * sq[0] + M[i][1] * M[j][1] * sq[1]
+                + M[i][2] * M[j][2] * sq[2])
+
+    return cov(0, 0), cov(0, 1), cov(0, 2), cov(1, 1), cov(1, 2), cov(2, 2)
+
+
 def quat_multiply(a, b):
     """Hamilton product of (w,x,y,z) quaternions."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]

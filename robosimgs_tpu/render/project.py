@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from robosimgs_tpu.core.camera import Camera
-from robosimgs_tpu.core.math3d import build_covariance
+from robosimgs_tpu.core.math3d import camera_covariance_components
 from robosimgs_tpu.core.sh import eval_sh
 from robosimgs_tpu.core.types import Gaussians
 from robosimgs_tpu.render.config import RenderConfig
@@ -70,18 +70,21 @@ def project(
     R_cw = w2c[:3, :3]
     t_cw = w2c[:3, 3]
 
-    # full-f32 contractions (precision="highest"): TPU's default bf16
-    # MXU passes shift projected centers by ~0.3px and depths by ~1e-2,
-    # breaking cross-backend parity
-    t = jnp.einsum("nj,ij->ni", g.means, R_cw, precision="highest") + t_cw
-    tz = t[:, 2]
+    # Camera transform + covariance rotation unrolled to (N,) elementwise
+    # math: exact f32 (TPU's default bf16 MXU passes shift projected
+    # centers ~0.3px and break cross-backend parity) AND fast — batched
+    # (N,3)/(N,3,3) contractions put 3-wide dims on 128-wide lanes.
+    mx, my, mz = g.means[:, 0], g.means[:, 1], g.means[:, 2]
+    tx = R_cw[0, 0] * mx + R_cw[0, 1] * my + R_cw[0, 2] * mz + t_cw[0]
+    ty = R_cw[1, 0] * mx + R_cw[1, 1] * my + R_cw[1, 2] * mz + t_cw[1]
+    tz = R_cw[2, 0] * mx + R_cw[2, 1] * my + R_cw[2, 2] * mz + t_cw[2]
+    t = jnp.stack([tx, ty, tz], -1)
     in_front = tz > cfg.near
     tz_safe = jnp.where(in_front, tz, 1.0)
 
-    # 3D covariance rotated into the camera frame.
-    cov3d = build_covariance(g.normalized_quats(), g.scales())
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R_cw, cov3d, R_cw,
-                         precision="highest")
+    # 3D covariance rotated into the camera frame (component form).
+    c00_, c01_, c02_, c11_, c12_, c22_ = camera_covariance_components(
+        g.normalized_quats(), g.scales(), R_cw)
 
     # Perspective Jacobian with the reference's 1.3x-FOV clamping of the
     # projected center (stabilizes far-off-screen Gaussians).
@@ -98,8 +101,8 @@ def project(
     j11 = fy * inv_z
     j12 = -fy * tyz * inv_z
 
-    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    c00, c01, c02 = c00_, c01_, c02_
+    c11, c12, c22 = c11_, c12_, c22_
     # cov2d = J C J^T (expanded; J sparse with zeros at j01/j10)
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + cfg.blur
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)

@@ -155,3 +155,46 @@ def test_render_rollout_with_base_poses(tmp_path):
     assert frames.shape[0] == 2
     # object moved: frames differ even with fixed joints
     assert np.abs(frames[0] - frames[1]).max() > 1e-3
+
+
+def test_trajectory_roundtrip(tmp_path):
+    from robosimgs_tpu.scenegen.trajectory import (load_trajectory,
+                                                   save_trajectory)
+    m = URDFModel.parse(BOX_URDF)
+    joints = np.array([[0.0], [0.5], [1.0]], np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1, 1))
+    poses[2, 0, :3, 3] = [0.1, 0.2, 0.3]
+    p = str(tmp_path / "traj.json")
+    save_trajectory(p, ["testbox"], joints, base_poses=poses, dofs=[1])
+    j2, b2 = load_trajectory(p, [m])
+    np.testing.assert_allclose(j2, joints, atol=1e-6)
+    np.testing.assert_allclose(b2, poses, atol=1e-6)
+
+
+def test_trajectory_holds_previous_values(tmp_path):
+    import json as _json
+    from robosimgs_tpu.scenegen.trajectory import load_trajectory
+    m = URDFModel.parse(BOX_URDF)
+    data = {"objects": ["testbox"], "steps": [
+        {"joints": {"testbox": [0.3]}},
+        {},                                  # joint holds 0.3
+        {"joints": {"testbox": [0.9]}},
+    ]}
+    p = tmp_path / "t.json"
+    p.write_text(_json.dumps(data))
+    j, b = load_trajectory(str(p), [m])
+    np.testing.assert_allclose(j[:, 0], [0.3, 0.3, 0.9], atol=1e-6)
+    assert b is None
+
+
+def test_trajectory_dof_mismatch_raises(tmp_path):
+    import json as _json
+
+    import pytest
+    from robosimgs_tpu.scenegen.trajectory import load_trajectory
+    m = URDFModel.parse(BOX_URDF)
+    p = tmp_path / "t.json"
+    p.write_text(_json.dumps({"objects": ["testbox"], "steps": [
+        {"joints": {"testbox": [0.1, 0.2]}}]}))
+    with pytest.raises(ValueError, match="expects 1 joints"):
+        load_trajectory(str(p), [m])
