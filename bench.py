@@ -42,7 +42,8 @@ def main():
     err = sys.stderr
     print(f"backend={jax.default_backend()} devices={jax.devices()}", file=err)
 
-    cfg = RenderConfig(tile_capacity=1024, max_tiles_per_gaussian=64)
+    # M=16 is lossless for this scene (truncation counted + asserted 0)
+    cfg = RenderConfig(tile_capacity=1024, max_tiles_per_gaussian=16)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, RES, RES)
     g = Gaussians.random(jax.random.PRNGKey(0), N_GAUSSIANS, sh_degree=3,
                          extent=1.5)
@@ -54,30 +55,33 @@ def main():
     def step(params, opt_state):
         def loss_fn(p):
             gg = g.replace(**p)
-            out = composite_tiled(project(gg, cam, cfg), RES, RES, cfg)
-            return photometric_loss(out["rgb"], target)
+            out = composite_tiled(project(gg, cam, cfg), RES, RES, cfg,
+                                  return_stats=True)
+            return photometric_loss(out["rgb"], target), out["stats"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, stats
 
     step = jax.jit(step, donate_argnums=(0, 1))
 
     t0 = time.time()
-    params, opt_state, loss = step(params, opt_state)
+    params, opt_state, loss, stats = step(params, opt_state)
     jax.block_until_ready(loss)
     print(f"compile+first: {time.time()-t0:.1f}s loss={float(loss):.5f}", file=err)
+    trunc = int(stats.truncated_gaussians)
+    assert trunc == 0, f"bench config truncates {trunc} gaussians"
 
     # warmup
     for _ in range(3):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss, stats = step(params, opt_state)
     jax.block_until_ready(loss)
 
     t0 = time.time()
     for _ in range(ITERS):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss, stats = step(params, opt_state)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / ITERS
     iters_per_sec = 1.0 / dt
