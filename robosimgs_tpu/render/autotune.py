@@ -1,0 +1,68 @@
+"""Capacity auto-tuning: pick lossless static capacities for a scene.
+
+Static shapes demand capacity knobs (`max_tiles_per_gaussian`,
+`tile_capacity`); wrong values truncate silently-degrading quality
+(caught by BinStats, see ARCHITECTURE.md §6). This measures a scene
+against representative cameras with generous caps and returns the
+smallest power-of-two-ish capacities with headroom — the recommended
+workflow before long training runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from robosimgs_tpu.core.camera import Camera
+from robosimgs_tpu.core.types import Gaussians
+from robosimgs_tpu.render.binning import bin_and_gather_packed
+from robosimgs_tpu.render.config import RenderConfig
+from robosimgs_tpu.render.project import project
+from robosimgs_tpu.render.tiles import num_tiles, tile_bbox
+
+
+def _round_up(x: int, step: int) -> int:
+    return max(step, ((x + step - 1) // step) * step)
+
+
+def recommend_capacities(
+    gaussians: Gaussians,
+    cameras: Sequence[Camera],
+    base: RenderConfig = RenderConfig(),
+    headroom: float = 1.5,
+) -> RenderConfig:
+    """Measure per-camera tile statistics and return a RenderConfig whose
+    capacities are lossless for the measured views (x headroom).
+
+    tile_capacity is rounded to a multiple of 128 (the Pallas lane-block
+    size); max_tiles_per_gaussian to a multiple of 4.
+    """
+    max_cover = 0
+    max_count = 0
+    for cam in cameras:
+        proj = project(gaussians, cam, base)
+        tiles_x, tiles_y = num_tiles(cam.width, cam.height, base.tile_size)
+        tx0, ty0, tx1, ty1 = tile_bbox(proj.means2d, proj.radii,
+                                       tiles_x, tiles_y, base.tile_size)
+        cover = jnp.where(proj.valid,
+                          (tx1 - tx0 + 1).clip(0) * (ty1 - ty0 + 1).clip(0), 0)
+        max_cover = max(max_cover, int(jnp.max(cover)))
+        # probe with generous caps to read true per-tile demand
+        probe = dataclasses.replace(
+            base,
+            max_tiles_per_gaussian=_round_up(max(max_cover, 1), 4),
+            tile_capacity=_round_up(
+                min(int(gaussians.num_alive), 1 << 17), 128))
+        _, _, _, stats = bin_and_gather_packed(proj, cam.width, cam.height,
+                                               probe)
+        max_count = max(max_count, int(stats.max_tile_count))
+
+    return dataclasses.replace(
+        base,
+        max_tiles_per_gaussian=_round_up(int(math.ceil(max_cover * headroom)), 4),
+        tile_capacity=_round_up(int(math.ceil(max_count * headroom)), 128),
+    )

@@ -39,6 +39,10 @@ class DensifyConfig:
     split_scale_shrink: float = 1.6
     prune_opacity: float = 0.005
     prune_scale3d_max: float = 0.1       # x extent; 0 disables
+    prune_scale3d_after: int = 3000      # size-pruning only after this step
+                                         # (3DGS semantics: early training
+                                         # legitimately uses large splats
+                                         # to cover sparse initializations)
     prune_radii2d_max: float = 0.0       # pixels; 0 disables
     reset_opacity_value: float = 0.01
 
@@ -64,10 +68,12 @@ def update_stats(state: DensifyState, grad2d: jax.Array, radii: jax.Array,
     """Accumulate screen-space gradient stats after one backward pass.
 
     grad2d: (N, 2) pixel-space gradient of the loss w.r.t. means2d
-    (from the means2d_offset probe). Normalized to NDC units
-    (x 2/width, 2/height) so grad_threshold keeps its standard meaning.
+    (from the means2d_offset probe), converted to NDC-space gradients so
+    grad_threshold keeps its standard 3DGS meaning: u_px = (ndc+1)*W/2,
+    so dL/dndc = dL/du_px * W/2 (chain rule; NOT 2/W — the inverted
+    factor silently suppressed densification by ~(W/2)^2).
     """
-    g = jnp.stack([grad2d[:, 0] * (2.0 / width), grad2d[:, 1] * (2.0 / height)], -1)
+    g = jnp.stack([grad2d[:, 0] * (width / 2.0), grad2d[:, 1] * (height / 2.0)], -1)
     norm = jnp.linalg.norm(g, axis=-1)
     return DensifyState(
         grad_accum=state.grad_accum + jnp.where(valid, norm, 0.0),
@@ -82,8 +88,14 @@ def densify_and_prune(
     key: jax.Array,
     cfg: DensifyConfig,
     scene_extent: float,
+    enable_scale_prune: bool = True,
 ) -> Tuple[Gaussians, DensifyState, jax.Array]:
-    """One densification round. Returns (gaussians, reset state, spawn_mask)."""
+    """One densification round. Returns (gaussians, reset state, spawn_mask).
+
+    enable_scale_prune: size-based pruning (scale/screen-radius caps)
+    gates on cfg.prune_scale3d_after in the trainer — pruning large
+    splats from the first round collapses sparse initializations (the
+    splats covering a sparse scene are *supposed* to be big early)."""
     n = g.capacity
     avg = state.grad_accum / jnp.maximum(state.count, 1).astype(jnp.float32)
     scales = g.scales()
@@ -91,9 +103,9 @@ def densify_and_prune(
     opac = g.opacities()
 
     prune = g.alive & (opac < cfg.prune_opacity)
-    if cfg.prune_scale3d_max > 0:
+    if enable_scale_prune and cfg.prune_scale3d_max > 0:
         prune |= g.alive & (max_scale > cfg.prune_scale3d_max * scene_extent)
-    if cfg.prune_radii2d_max > 0:
+    if enable_scale_prune and cfg.prune_radii2d_max > 0:
         prune |= g.alive & (state.max_radii > cfg.prune_radii2d_max)
 
     grow = g.alive & ~prune & (avg > cfg.grad_threshold) & (state.count > 0)

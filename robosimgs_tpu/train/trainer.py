@@ -131,11 +131,12 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
 def make_densify_step(cfg: TrainConfig) -> Callable:
     optimizer = make_optimizer(cfg.optim, cfg.scene_extent)  # noqa: F841 (state shape)
 
-    @jax.jit
-    def densify_step(state: TrainState):
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def densify_step(state: TrainState, enable_scale_prune: bool = True):
         key, sub = jax.random.split(state.key)
         g, dstate, spawn = densify_and_prune(
-            state.gaussians, state.densify_state, sub, cfg.densify, cfg.scene_extent)
+            state.gaussians, state.densify_state, sub, cfg.densify,
+            cfg.scene_extent, enable_scale_prune=enable_scale_prune)
         opt_state = reset_slots_in_opt_state(state.opt_state, spawn)
         return TrainState(gaussians=g, opt_state=opt_state, densify_state=dstate,
                           step=state.step, key=key)
@@ -185,7 +186,8 @@ class Trainer:
 
             if (cfg.densify_from <= step < cfg.densify_until
                     and step > 0 and step % cfg.densify_interval == 0):
-                self.state = self._densify_step(self.state)
+                self.state = self._densify_step(
+                    self.state, step >= cfg.densify.prune_scale3d_after)
             if step > 0 and step % cfg.opacity_reset_interval == 0:
                 self.state = dataclasses.replace(
                     self.state,

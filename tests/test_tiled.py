@@ -151,3 +151,18 @@ def test_tiled_odd_sizes(wh):
     out = composite_tiled(proj, w, h, CFG, compositor="pallas")
     assert out["rgb"].shape == (h, w, 3)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_recommend_capacities():
+    from robosimgs_tpu.render.autotune import recommend_capacities
+    cam = make_camera(64, 48)
+    g = make_scene(100, seed=2)
+    cfg = recommend_capacities(g, [cam], CFG)
+    assert cfg.tile_capacity % 128 == 0
+    assert cfg.max_tiles_per_gaussian % 4 == 0
+    # recommended caps must be lossless for the measured view
+    from robosimgs_tpu.render.binning import bin_and_gather_packed
+    proj = project(g, cam, cfg)
+    _, _, counts, stats = bin_and_gather_packed(proj, cam.width, cam.height, cfg)
+    assert int(stats.truncated_gaussians) == 0
+    assert int(stats.overflowed_tiles) == 0
