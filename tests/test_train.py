@@ -145,3 +145,49 @@ def test_trainer_checkpoint_resume(tmp_path):
     # trainer without checkpoints reports False
     cfg2 = dataclasses.replace(cfg, checkpoint_dir=str(tmp_path / "none"))
     assert not Trainer(cfg2, init, frames).resume_latest()
+
+
+def test_update_stats_ndc_normalization():
+    """Pixel->NDC conversion is x W/2 (u_px=(ndc+1)*W/2), not 2/W —
+    regression lock for the inverted factor that suppressed
+    densification by ~(W/2)^2."""
+    state = DensifyState.zero(3)
+    grad2d = jnp.array([[0.01, 0.0], [0.0, 0.02], [0.0, 0.0]])
+    valid = jnp.array([True, True, False])
+    radii = jnp.array([5.0, 3.0, 1.0])
+    s2 = update_stats(state, grad2d, radii, valid, width=200, height=100)
+    np.testing.assert_allclose(np.asarray(s2.grad_accum),
+                               [0.01 * 100, 0.02 * 50, 0.0], rtol=1e-6)
+    assert np.asarray(s2.count).tolist() == [1, 1, 0]
+    np.testing.assert_allclose(np.asarray(s2.max_radii), [5.0, 3.0, 0.0])
+
+
+def test_densify_scale_prune_gating():
+    """enable_scale_prune=False keeps oversized gaussians alive."""
+    g = Gaussians.random(jax.random.PRNGKey(0), 10, sh_degree=0)
+    g = g.replace(log_scales=g.log_scales.at[2].set(jnp.log(5.0)))  # huge
+    state = DensifyState.zero(10)
+    cfg = DensifyConfig(prune_opacity=0.0)
+    g_off, _, _ = densify_and_prune(g, state, jax.random.PRNGKey(1), cfg, 1.0,
+                                    enable_scale_prune=False)
+    assert bool(g_off.alive[2])
+    g_on, _, _ = densify_and_prune(g, state, jax.random.PRNGKey(1), cfg, 1.0,
+                                   enable_scale_prune=True)
+    assert not bool(g_on.alive[2])
+
+
+def test_trainer_reports_overflow(tmp_path):
+    """The tiled path surfaces truncation in metrics."""
+    gt, frames = synthetic_scene(seed=1, n_gaussians=60, n_cameras=2,
+                                 width=32, height=32)
+    cfg = TrainConfig(iterations=2,
+                      render=RenderConfig(tile_capacity=128,
+                                          max_tiles_per_gaussian=1),
+                      impl="tiled", densify_from=10_000, log_every=1,
+                      opacity_reset_interval=10_000)
+    for f in frames:
+        f.image = np.zeros((32, 32, 3), np.float32)
+    tr = Trainer(cfg, gt, frames)
+    tr.run(progress=False)
+    assert "overflow" in tr.history[0]
+    assert tr.history[0]["overflow"] > 0  # M=1 truncates this scene
