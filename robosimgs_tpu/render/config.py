@@ -35,6 +35,10 @@ class RenderConfig:
     transmittance_min: float = 1.0e-4
     blur: float = 0.3
     near: float = 0.01
+    # mip-splatting-style opacity compensation: scales opacity by
+    # sqrt(det(cov2d)/det(cov2d+blur)) so the low-pass blur doesn't
+    # brighten small splats (gsplat "antialiased" rasterize mode)
+    antialiased: bool = False
     # static capacities (overflow/truncation is counted in BinStats,
     # never silent; raise these for scenes with very large splats)
     max_tiles_per_gaussian: int = 32

@@ -104,9 +104,11 @@ def project(
     c00, c01, c02 = c00_, c01_, c02_
     c11, c12, c22 = c11_, c12_, c22_
     # cov2d = J C J^T (expanded; J sparse with zeros at j01/j10)
-    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + cfg.blur
+    a_raw = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
-    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + cfg.blur
+    c_raw = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)
+    a = a_raw + cfg.blur
+    c = c_raw + cfg.blur
 
     det = a * c - b * b
     invertible = det > 0.0
@@ -136,12 +138,22 @@ def project(
     sh = jnp.concatenate([g.sh_dc[:, None, :], g.sh_rest], axis=1)
     colors = eval_sh(sh_degree, sh, dirs)
 
+    opacities = g.opacities()
+    if cfg.antialiased:
+        # mip-splatting opacity compensation: the +blur low-pass
+        # enlarges splats; scaling opacity by sqrt(det_raw/det_blurred)
+        # keeps their integrated contribution constant
+        det_raw = a_raw * c_raw - b * b
+        comp = jnp.sqrt(jnp.maximum(det_raw, 0.0)
+                        / jnp.where(det_safe > 0, det_safe, 1.0))
+        opacities = opacities * comp
+
     return Projected(
         means2d=means2d,
         conics=conic,
         depths=tz,
         radii=radius,
         colors=colors,
-        opacities=g.opacities(),
+        opacities=opacities,
         valid=valid,
     )

@@ -40,6 +40,21 @@ import optax
 _SH_BANDS = np.array([1] * 3 + [2] * 5 + [3] * 7, np.int32)  # band of each rest coeff
 
 
+def _zero_opacity_moments(opt_state):
+    """Zero the Adam moments of the opacity group after an opacity reset
+    (official 3DGS resets the optimizer state there too — stale momentum
+    would instantly undo the clamp)."""
+    import optax
+
+    def zero_group(tree):
+        return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+    inner = dict(opt_state.inner_states)
+    st = inner["logit_opacities"]
+    inner["logit_opacities"] = st._replace(inner_state=zero_group(st.inner_state))
+    return opt_state._replace(inner_states=inner)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     iterations: int = 7000
@@ -192,7 +207,8 @@ class Trainer:
                 self.state = dataclasses.replace(
                     self.state,
                     gaussians=reset_opacities(self.state.gaussians,
-                                              cfg.densify.reset_opacity_value))
+                                              cfg.densify.reset_opacity_value),
+                    opt_state=_zero_opacity_moments(self.state.opt_state))
             if step % cfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["step"] = step

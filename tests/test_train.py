@@ -191,3 +191,40 @@ def test_trainer_reports_overflow(tmp_path):
     tr.run(progress=False)
     assert "overflow" in tr.history[0]
     assert tr.history[0]["overflow"] > 0  # M=1 truncates this scene
+
+
+def test_opacity_reset_zeroes_adam_moments():
+    from robosimgs_tpu.train.optim import float_params, make_optimizer
+    from robosimgs_tpu.train.trainer import _zero_opacity_moments
+    g = Gaussians.random(jax.random.PRNGKey(0), 8, sh_degree=0)
+    opt = make_optimizer()
+    params = float_params(g)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, state = opt.update(grads, state, params)
+    mu_before = state.inner_states["logit_opacities"].inner_state[0].mu[
+        "logit_opacities"]
+    assert float(jnp.abs(mu_before).max()) > 0
+    state2 = _zero_opacity_moments(state)
+    mu_after = state2.inner_states["logit_opacities"].inner_state[0].mu[
+        "logit_opacities"]
+    assert float(jnp.abs(mu_after).max()) == 0.0
+    # other groups untouched
+    assert float(jnp.abs(
+        state2.inner_states["means"].inner_state[0].mu["means"]).max()) > 0
+
+
+def test_antialiased_mode():
+    from robosimgs_tpu.render.project import project
+    from robosimgs_tpu.train.data import synthetic_scene
+    gt, frames = synthetic_scene(0, 30, 1, 32, 32)
+    cam = frames[0].camera
+    p_off = project(gt, cam, RenderConfig(antialiased=False))
+    p_on = project(gt, cam, RenderConfig(antialiased=True))
+    off = np.asarray(p_off.opacities)
+    on = np.asarray(p_on.opacities)
+    valid = np.asarray(p_on.valid)
+    # compensation only reduces opacity, strictly for small splats
+    assert (on[valid] <= off[valid] + 1e-6).all()
+    assert (on[valid] < off[valid] - 1e-4).any()
+    assert np.isfinite(on).all()
