@@ -124,9 +124,18 @@ def load_colmap(sparse_dir: str, images_dir: Optional[str] = None,
         xyz = np.zeros((0, 3), np.float32)
         rgb = np.zeros((0, 3), np.float32)
 
+    warned = set()
     frames = []
     for im in sorted(images, key=lambda d: d["name"]):
         c = cameras[im["camera_id"]]
+        if any(abs(d) > 1e-9 for d in c["distortion"]) \
+                and im["camera_id"] not in warned:
+            warned.add(im["camera_id"])
+            import warnings
+            warnings.warn(
+                f"COLMAP camera {im['camera_id']} ({c['model']}) has nonzero "
+                f"distortion {c['distortion']} which is NOT applied - "
+                "undistort images upstream (ns-process-data does)")
         R = _qvec_to_rotmat(im["qvec"])
         t = im["tvec"]
         c2w = np.eye(4, dtype=np.float32)

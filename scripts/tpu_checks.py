@@ -9,9 +9,12 @@ checks that caught the bf16-precision and layout bugs of round 1:
   3. full fwd+bwd gradient finiteness + magnitude sanity
   4. quick train-step timing
 
-Run: python scripts/tpu_checks.py    (on the TPU host; ~2 min warm)
+Run: python scripts/tpu_checks.py [n]    (on the TPU host; ~2 min warm)
 Exit code 0 = all checks pass. Includes a compile watchdog (the axon
-remote-compile service wedges sporadically; rerun on exit 17).
+remote-compile service wedges sporadically; rerun on exit 17). If the
+SAME program wedges repeatedly while other programs compile fine, the
+service has a poisoned entry for that exact program — pass a different
+n (default 5000) to change the compiled shapes and bust it.
 """
 
 import os
@@ -50,7 +53,8 @@ def main():
 
     cfg = RenderConfig(tile_capacity=512)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, 128, 128)
-    g = Gaussians.random(jax.random.PRNGKey(3), 5000, sh_degree=2, extent=1.5)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    g = Gaussians.random(jax.random.PRNGKey(3), n, sh_degree=2, extent=1.5)
 
     # 1. compiled pallas vs jnp oracle on the same chip
     proj = project(g, cam, cfg)

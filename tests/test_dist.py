@@ -115,3 +115,18 @@ def test_gaussian_sharded_step_matches_single_device():
                                    err_msg=k)
     assert int(metrics["n_alive"]) == int(g.num_alive)
     assert int(new_state.step) == 1
+
+
+def test_gaussian_sharded_step_with_pallas_interpret():
+    """Sharded-gaussian step through the tiled/Pallas path (interpret on
+    CPU) — the combination the TPU driver exercises for real."""
+    from robosimgs_tpu.parallel.distributed import \
+        make_gaussian_sharded_train_step
+
+    cfg, frames, targets, state, _ = setup(n_cams=1)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    step_fn = make_gaussian_sharded_train_step(cfg, mesh, impl="tiled")
+    new_state, metrics = step_fn(state, frames[0].camera,
+                                 jnp.asarray(targets[0]))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
