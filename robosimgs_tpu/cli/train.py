@@ -16,6 +16,9 @@ import os
 def build_parser():
     p = argparse.ArgumentParser(description="Train a 3D Gaussian Splatting scene")
     p.add_argument("--data", help="path to transforms.json (Nerfstudio format)")
+    p.add_argument("--colmap", help="path to a COLMAP sparse dir "
+                                    "(cameras/images/points3D.bin)")
+    p.add_argument("--images", help="image dir for --colmap")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train a synthetic N-gaussian scene instead of --data")
     p.add_argument("--output", required=True, help="output directory")
@@ -71,9 +74,20 @@ def main(argv=None):
             pts + np.random.default_rng(0).normal(scale=0.02, size=pts.shape
                                                   ).astype(np.float32),
             sh_degree=args.sh_degree, capacity=args.capacity)
+    elif args.colmap:
+        from robosimgs_tpu.utils.colmap import load_colmap
+        frames, sfm_xyz, sfm_rgb = load_colmap(args.colmap, args.images,
+                                               downscale=args.downscale)
+        train_frames, eval_frames = train_eval_split(frames, args.eval_every)
+        if len(sfm_xyz):
+            init = Gaussians.from_points(sfm_xyz, sfm_rgb,
+                                         sh_degree=args.sh_degree,
+                                         capacity=args.capacity)
+        else:
+            raise SystemExit("COLMAP model has no points3D.bin to init from")
     else:
         if not args.data:
-            raise SystemExit("one of --data or --synthetic is required")
+            raise SystemExit("one of --data, --colmap or --synthetic is required")
         frames = parse_transforms_json(args.data, downscale=args.downscale)
         train_frames, eval_frames = train_eval_split(frames, args.eval_every)
         # init from random points in the camera bounding volume

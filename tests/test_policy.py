@@ -113,3 +113,39 @@ def test_policy_learns_toy_task():
     assert err_after < err_before * 0.5, (err_before, err_after)
     assert err_after < 0.25, err_after
     assert tr.history[-1]["loss"] < tr.history[0]["loss"]
+
+
+def test_closed_loop_eval(tmp_path):
+    """A scripted 'policy' opens the box lid in the renderer loop."""
+    from robosimgs_tpu.core.camera import Camera
+    from robosimgs_tpu.core.types import Gaussians
+    from robosimgs_tpu.policy.rollout_eval import run_closed_loop
+    from robosimgs_tpu.render.config import RenderConfig
+    from robosimgs_tpu.scenegen.rollout import ArticulatedObject
+    from robosimgs_tpu.utils.meshio import Mesh, save_mesh
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_scenegen import BOX_URDF, box_mesh
+
+    save_mesh(str(tmp_path / "body.glb"), box_mesh())
+    save_mesh(str(tmp_path / "lid.glb"), box_mesh((0.5, 0.5, 0.05)))
+    (tmp_path / "robot.urdf").write_text(BOX_URDF)
+    obj = ArticulatedObject.from_urdf(str(tmp_path / "robot.urdf"))
+    bg = Gaussians.random(jax.random.PRNGKey(0), 20, sh_degree=1, extent=2.0)
+    cams = [Camera.look_at([3, 0.5, 1.5], [0, 0, 0], [0, 0, 1], 60.0, 32, 32)]
+
+    def policy(images, states):
+        # scripted: always command +0.2 rad increments toward open
+        q = states[0, -1]
+        return np.tile(q + 0.2, (1, 4, 1))
+
+    res = run_closed_loop(policy, bg, obj, cams, steps=6,
+                          obs_horizon=2, actions_per_step=2,
+                          target_q=np.array([1.2]),
+                          cfg=RenderConfig(tile_capacity=128))
+    assert res.joint_history.shape == (7, 1)
+    # lid opened monotonically and clamped at the limit
+    assert (np.diff(res.joint_history[:, 0]) >= -1e-6).all()
+    assert res.joint_history[-1, 0] <= 1.57 + 1e-6
+    assert res.frames.shape[0] == 6
+    assert res.final_error is not None
