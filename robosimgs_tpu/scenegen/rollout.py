@@ -79,6 +79,22 @@ def _jitted_composite(cfg: RenderConfig, mesh_cfg: MeshRasterConfig, impl: str):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_composite_batched(cfg: RenderConfig, mesh_cfg: MeshRasterConfig,
+                              impl: str, n_cameras: int):
+    """Unrolled multi-camera composite: ONE device dispatch renders all
+    cameras of a timestep. Compile cost is ~n_cameras x the single-
+    camera graph (can take many minutes the first time) but removes the
+    per-call dispatch latency that dominates on remote-attached chips —
+    opt in via render_rollout(batch_cameras=True) for long rollouts."""
+    def fn(background, cam_tuple, meshes, bg_color):
+        outs = [render_composite(background, cam, list(meshes), cfg,
+                                 mesh_cfg, background=bg_color, impl=impl)["rgb"]
+                for cam in cam_tuple]
+        return jnp.stack(outs)
+    return jax.jit(fn)
+
+
 def render_rollout(
     background: Gaussians,
     objects: Sequence[ArticulatedObject],
@@ -89,6 +105,7 @@ def render_rollout(
     background_color: Optional[jax.Array] = None,
     impl: str = "auto",
     base_poses: Optional[np.ndarray] = None,   # (T, n_objects, 4, 4)
+    batch_cameras: bool = False,
 ) -> np.ndarray:
     """Render (T, C, H, W, 3) rollout frames.
 
@@ -103,7 +120,10 @@ def render_rollout(
         impl = "reference" if jax.default_backend() == "cpu" else "tiled"
     bg_color = (jnp.zeros((3,), jnp.float32) if background_color is None
                 else jnp.asarray(background_color))
-    comp = _jitted_composite(cfg, mesh_cfg, impl)
+    if batch_cameras:
+        compb = _jitted_composite_batched(cfg, mesh_cfg, impl, len(cameras))
+    else:
+        comp = _jitted_composite(cfg, mesh_cfg, impl)
     frames = []
     dof_split = np.cumsum([o.model.dof for o in objects])[:-1] if objects else []
     for t in range(trajectory.shape[0]):
@@ -112,9 +132,13 @@ def render_rollout(
         for i, (obj, q) in enumerate(zip(objects, qs)):
             base = base_poses[t, i] if base_poses is not None else None
             meshes.extend(obj.posed_meshes(q, base_pose=base))
-        cams_out = [comp(background, cam, tuple(meshes), bg_color)
-                    for cam in cameras]
-        frames.append(jnp.stack(cams_out))
+        if batch_cameras:
+            frames.append(compb(background, tuple(cameras), tuple(meshes),
+                                bg_color))
+        else:
+            cams_out = [comp(background, cam, tuple(meshes), bg_color)
+                        for cam in cameras]
+            frames.append(jnp.stack(cams_out))
     return np.asarray(jnp.stack(frames))
 
 
