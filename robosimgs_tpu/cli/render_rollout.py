@@ -77,14 +77,13 @@ def main(argv=None):
         traj = np.zeros((args.steps, 0), np.float32)
 
     frames = render_rollout(background, objects, traj, cams, impl=args.impl,
-                            base_poses=base_poses)
+                            base_poses=base_poses, as_uint8=True)
     os.makedirs(args.output, exist_ok=True)
     T, C = frames.shape[:2]
     for t in range(T):
         for c in range(C):
-            Image.fromarray(
-                (np.clip(frames[t, c], 0, 1) * 255).astype(np.uint8)
-            ).save(os.path.join(args.output, f"frame_{t:04d}_cam{c}.png"))
+            Image.fromarray(frames[t, c]).save(
+                os.path.join(args.output, f"frame_{t:04d}_cam{c}.png"))
     print(f"wrote {T * C} frames to {args.output}")
 
 

@@ -65,8 +65,13 @@ class ArticulatedObject:
         return out
 
 
+def _quantize_u8(rgb):
+    return jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+
+
 @functools.lru_cache(maxsize=8)
-def _jitted_composite(cfg: RenderConfig, mesh_cfg: MeshRasterConfig, impl: str):
+def _jitted_composite(cfg: RenderConfig, mesh_cfg: MeshRasterConfig, impl: str,
+                      as_uint8: bool = False):
     """One compiled composite per (config, shapes): every (timestep,
     camera) render of a rollout reuses it. (Batching all cameras into a
     lax.map body was tried and compiles pathologically slowly — the
@@ -74,14 +79,16 @@ def _jitted_composite(cfg: RenderConfig, mesh_cfg: MeshRasterConfig, impl: str):
     dispatch keeps compiles ~1 camera-sized and calls are queued
     asynchronously anyway.)"""
     def fn(background, camera, meshes, bg_color):
-        return render_composite(background, camera, list(meshes), cfg,
-                                mesh_cfg, background=bg_color, impl=impl)["rgb"]
+        rgb = render_composite(background, camera, list(meshes), cfg,
+                               mesh_cfg, background=bg_color, impl=impl)["rgb"]
+        return _quantize_u8(rgb) if as_uint8 else rgb
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=8)
 def _jitted_composite_batched(cfg: RenderConfig, mesh_cfg: MeshRasterConfig,
-                              impl: str, n_cameras: int):
+                              impl: str, n_cameras: int,
+                              as_uint8: bool = False):
     """Unrolled multi-camera composite: ONE device dispatch renders all
     cameras of a timestep. Compile cost is ~n_cameras x the single-
     camera graph (can take many minutes the first time) but removes the
@@ -91,7 +98,8 @@ def _jitted_composite_batched(cfg: RenderConfig, mesh_cfg: MeshRasterConfig,
         outs = [render_composite(background, cam, list(meshes), cfg,
                                  mesh_cfg, background=bg_color, impl=impl)["rgb"]
                 for cam in cam_tuple]
-        return jnp.stack(outs)
+        out = jnp.stack(outs)
+        return _quantize_u8(out) if as_uint8 else out
     return jax.jit(fn)
 
 
@@ -106,6 +114,7 @@ def render_rollout(
     impl: str = "auto",
     base_poses: Optional[np.ndarray] = None,   # (T, n_objects, 4, 4)
     batch_cameras: bool = False,
+    as_uint8: bool = False,
 ) -> np.ndarray:
     """Render (T, C, H, W, 3) rollout frames.
 
@@ -120,10 +129,14 @@ def render_rollout(
         impl = "reference" if jax.default_backend() == "cpu" else "tiled"
     bg_color = (jnp.zeros((3,), jnp.float32) if background_color is None
                 else jnp.asarray(background_color))
+    # as_uint8 quantizes on-device: 4x less host transfer, which
+    # dominates rollout wall time on remote-attached chips (frames are
+    # written as 8-bit images anyway)
     if batch_cameras:
-        compb = _jitted_composite_batched(cfg, mesh_cfg, impl, len(cameras))
+        compb = _jitted_composite_batched(cfg, mesh_cfg, impl, len(cameras),
+                                          as_uint8)
     else:
-        comp = _jitted_composite(cfg, mesh_cfg, impl)
+        comp = _jitted_composite(cfg, mesh_cfg, impl, as_uint8)
     frames = []
     dof_split = np.cumsum([o.model.dof for o in objects])[:-1] if objects else []
     for t in range(trajectory.shape[0]):

@@ -198,3 +198,22 @@ def test_trajectory_dof_mismatch_raises(tmp_path):
         {"joints": {"testbox": [0.1, 0.2]}}]}))
     with pytest.raises(ValueError, match="expects 1 joints"):
         load_trajectory(str(p), [m])
+
+
+def test_render_rollout_uint8(tmp_path):
+    save_mesh(str(tmp_path / "body.glb"), box_mesh())
+    save_mesh(str(tmp_path / "lid.glb"), box_mesh((0.5, 0.5, 0.05)))
+    (tmp_path / "robot.urdf").write_text(BOX_URDF)
+    obj = ArticulatedObject.from_urdf(str(tmp_path / "robot.urdf"))
+    bg = Gaussians.random(jax.random.PRNGKey(0), 30, sh_degree=1, extent=2.0)
+    cams = [Camera.look_at([3, 0.5, 1.5], [0, 0, 0], [0, 0, 1], 60.0, 32, 32)]
+    traj = open_close_trajectory(obj.model, 2)
+    f8 = render_rollout(bg, [obj], traj, cams,
+                        cfg=RenderConfig(tile_capacity=128),
+                        impl="reference", as_uint8=True)
+    f32 = render_rollout(bg, [obj], traj, cams,
+                         cfg=RenderConfig(tile_capacity=128),
+                         impl="reference")
+    assert f8.dtype == np.uint8
+    np.testing.assert_allclose(
+        f8.astype(np.float32) / 255.0, np.clip(f32, 0, 1), atol=1 / 255 + 1e-6)
