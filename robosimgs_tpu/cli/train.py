@@ -34,6 +34,9 @@ def build_parser():
                    choices=["auto", "reference", "tiled"])
     p.add_argument("--checkpoint-every", type=int, default=2000)
     p.add_argument("--background", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+    p.add_argument("--scene-extent", type=float, default=None,
+                   help="override the camera-derived scene extent "
+                        "(scales means-lr and densify/prune thresholds)")
     return p
 
 
@@ -45,28 +48,22 @@ def main(argv=None):
     from robosimgs_tpu.core.types import Gaussians
     from robosimgs_tpu.render.config import RenderConfig
     from robosimgs_tpu.render.rasterize import rasterize
-    from robosimgs_tpu.train.data import (parse_transforms_json,
+    from robosimgs_tpu.train.data import (camera_extent, parse_transforms_json,
                                           synthetic_scene, train_eval_split)
     from robosimgs_tpu.train.io_ply import save_ply
     from robosimgs_tpu.train.trainer import TrainConfig, Trainer
 
     os.makedirs(args.output, exist_ok=True)
-    cfg = TrainConfig(
-        iterations=args.iterations,
-        render=RenderConfig(tile_capacity=args.tile_capacity),
-        impl=args.impl,
-        background=tuple(args.background),
-        checkpoint_dir=os.path.join(args.output, "checkpoints"),
-        checkpoint_every=args.checkpoint_every,
-    )
+
+    render_cfg = RenderConfig(tile_capacity=args.tile_capacity)
 
     if args.synthetic:
         gt, frames = synthetic_scene(seed=0, n_gaussians=args.synthetic,
                                      n_cameras=24, width=256, height=256,
                                      sh_degree=min(args.sh_degree, 2))
         for f in frames:
-            f.image = np.asarray(rasterize(gt, f.camera, cfg.render,
-                                           impl=cfg.impl if cfg.impl != "auto"
+            f.image = np.asarray(rasterize(gt, f.camera, render_cfg,
+                                           impl=args.impl if args.impl != "auto"
                                            else None or "reference")["rgb"])
         train_frames, eval_frames = train_eval_split(frames, args.eval_every)
         pts = np.asarray(gt.means)[np.asarray(gt.alive)]
@@ -100,6 +97,19 @@ def main(argv=None):
                           (n0, 3)).astype(np.float32)
         init = Gaussians.from_points(pts, sh_degree=args.sh_degree,
                                      capacity=args.capacity)
+
+    scene_extent = (args.scene_extent if args.scene_extent is not None
+                    else camera_extent(frames))
+    print(f"scene extent: {scene_extent:.3f}")
+    cfg = TrainConfig(
+        iterations=args.iterations,
+        render=render_cfg,
+        impl=args.impl,
+        background=tuple(args.background),
+        checkpoint_dir=os.path.abspath(os.path.join(args.output, "checkpoints")),
+        checkpoint_every=args.checkpoint_every,
+        scene_extent=scene_extent,
+    )
 
     trainer = Trainer(cfg, init, train_frames, eval_frames)
     trainer.run()

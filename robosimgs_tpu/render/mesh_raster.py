@@ -59,7 +59,15 @@ def rasterize_mesh(
     f = faces
     tri_uv = jnp.stack([jnp.stack([u[f[:, i]], v[f[:, i]]], -1) for i in range(3)], 1)  # (F,3,2)
     tri_invz = jnp.stack([inv_z[f[:, i]] for i in range(3)], 1)                          # (F,3)
-    tri_infront = (jnp.stack([z[f[:, i]] for i in range(3)], 1) > cfg.near).all(1)
+    tri_z = jnp.stack([z[f[:, i]] for i in range(3)], 1)
+    tri_infront = (tri_z > cfg.near).all(1)
+    # Limitation (documented, counted — ADVICE.md r1): triangles that
+    # STRADDLE the near plane are dropped whole rather than clipped
+    # (behind-camera vertices project to meaningless uv, so keeping them
+    # un-clipped would smear geometry across the screen). The count is
+    # surfaced as `near_dropped` so close-up rollout views can detect
+    # silently vanishing surfaces.
+    near_straddle = (tri_z > cfg.near).any(1) & ~tri_infront
 
     if face_colors is None:
         if vertex_colors is None:
@@ -171,4 +179,5 @@ def rasterize_mesh(
         "mask": mask,
         "face_id": jnp.where(mask, img[..., 5].astype(jnp.int32), -1),
         "stats": stats,
+        "near_dropped": jnp.sum(near_straddle).astype(jnp.int32),
     }

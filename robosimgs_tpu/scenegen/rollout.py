@@ -144,6 +144,8 @@ def render_rollout(
         meshes = []
         for i, (obj, q) in enumerate(zip(objects, qs)):
             base = base_poses[t, i] if base_poses is not None else None
+            if base is not None and np.isnan(base).any():
+                base = None   # never listed in the trajectory: resting pose
             meshes.extend(obj.posed_meshes(q, base_pose=base))
         if batch_cameras:
             frames.append(compb(background, tuple(cameras), tuple(meshes),

@@ -60,7 +60,11 @@ def load_trajectory(
     T = len(steps)
     joints = np.zeros((T, total), np.float32)
     have_base = any("base_poses" in s for s in steps)
-    base = np.tile(np.eye(4, dtype=np.float32), (T, len(models), 1, 1)) \
+    # NaN marks "never listed": render_rollout falls back to each
+    # object's resting base_pose instead of overriding it with identity
+    # (ADVICE.md r1: one object having base_poses must not reset the
+    # resting pose of every other object)
+    base = np.full((T, len(models), 4, 4), np.nan, np.float32) \
         if have_base else None
 
     prev = np.zeros((total,), np.float32)

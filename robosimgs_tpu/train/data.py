@@ -88,6 +88,18 @@ def denormalize_points(points: np.ndarray, transform: np.ndarray, scale: float) 
     return (p - t) @ R  # R orthonormal: inverse = transpose applied on the right
 
 
+def camera_extent(frames: List[Frame]) -> float:
+    """Scene extent from the camera rig, as splatfacto/3DGS derive it:
+    1.1 x the radius of the camera bounding sphere (centered at the mean
+    camera origin). Scales means-lr, the percent_dense split boundary and
+    prune_scale3d_max to metric scenes (ADVICE.md r1: leaving the default
+    1.0 mis-scales all three on real captures)."""
+    centers = np.stack([np.asarray(f.camera.origin) for f in frames])
+    center = centers.mean(axis=0)
+    radius = float(np.linalg.norm(centers - center, axis=1).max())
+    return 1.1 * radius if radius > 0 else 1.0
+
+
 def train_eval_split(frames: List[Frame], eval_every: int = 8):
     train = [f for i, f in enumerate(frames) if i % eval_every != 0]
     eval_ = [f for i, f in enumerate(frames) if i % eval_every == 0]

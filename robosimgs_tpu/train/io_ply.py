@@ -60,16 +60,23 @@ def load_ply(path: str, capacity: Optional[int] = None) -> Gaussians:
     n = None
     names = []
     fmt = None
-    for line in header:
+    in_vertex = False   # properties are tracked per element; only the
+    for line in header:  # vertex element's list defines the row schema
         parts = line.split()
+        if not parts:
+            continue
         if parts[0] == "format":
             fmt = parts[1]
-        elif parts[:2] == ["element", "vertex"]:
-            n = int(parts[2])
-        elif parts[0] == "property" and n is not None:
+        elif parts[0] == "element":
+            in_vertex = parts[1] == "vertex"
+            if in_vertex:
+                n = int(parts[2])
+        elif parts[0] == "property" and in_vertex:
             if parts[1] != "float":
                 raise ValueError(f"unsupported property type {parts[1]}")
             names.append(parts[2])
+    if n is None:
+        raise ValueError("PLY has no vertex element")
     if fmt != "binary_little_endian":
         raise ValueError(f"unsupported PLY format {fmt}")
     arr = np.frombuffer(raw[head_end:], dtype="<f4", count=n * len(names))

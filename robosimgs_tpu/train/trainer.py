@@ -235,18 +235,24 @@ class Trainer:
     # -- checkpointing ----------------------------------------------------
 
     def save_checkpoint(self, path: Optional[str] = None):
+        import os
+
         import orbax.checkpoint as ocp
 
-        path = path or self.cfg.checkpoint_dir
+        # orbax requires absolute paths; a relative --output must not
+        # crash the run at its first checkpoint save (ADVICE.md r1)
+        path = os.path.abspath(path or self.cfg.checkpoint_dir)
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(f"{path}/step_{int(self.state.step)}", self.state, force=True)
         ckpt.wait_until_finished()
 
     def restore_checkpoint(self, path: str):
+        import os
+
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
-        self.state = ckpt.restore(path, self.state)
+        self.state = ckpt.restore(os.path.abspath(path), self.state)
 
     def resume_latest(self) -> bool:
         """Preemption recovery: restore the newest checkpoint in

@@ -24,6 +24,41 @@ def test_ply_roundtrip(tmp_path):
         np.testing.assert_allclose(b, a, atol=1e-6, err_msg=field)
 
 
+def test_ply_load_ignores_trailing_elements(tmp_path):
+    """Exporters that append a face (or any other) element after vertex
+    must not corrupt the vertex schema (ADVICE.md r1: properties were
+    collected across ALL elements, mis-parsing the buffer)."""
+    g = Gaussians.random(jax.random.PRNGKey(0), 12, sh_degree=1, capacity=12)
+    p = str(tmp_path / "s.ply")
+    save_ply(p, g)
+    raw = open(p, "rb").read()
+    head, body = raw.split(b"end_header\n", 1)
+    head = head.decode().replace(
+        "end_header", "").rstrip("\n")
+    head += ("\nelement face 0\n"
+             "property list uchar int vertex_indices\n"
+             "element extra 1\n"
+             "property float weirdness\nend_header\n")
+    p2 = str(tmp_path / "s2.ply")
+    # the extra element declares 1 row of 1 float -> append 4 bytes
+    open(p2, "wb").write(head.encode() + body + b"\x00\x00\x00\x00")
+    g2 = load_ply(p2)
+    assert int(g2.num_alive) == 12
+    np.testing.assert_allclose(np.asarray(g2.means),
+                               np.asarray(g.means), atol=1e-6)
+
+
+def test_camera_extent_from_rig():
+    from robosimgs_tpu.train.data import camera_extent
+    _, frames = synthetic_scene(seed=0, n_gaussians=8, n_cameras=6,
+                                width=32, height=32, sh_degree=0)
+    ext = camera_extent(frames)
+    centers = np.stack([np.asarray(f.camera.origin) for f in frames])
+    radius = np.linalg.norm(centers - centers.mean(0), axis=1).max()
+    assert abs(ext - 1.1 * radius) < 1e-5
+    assert ext > 0
+
+
 def test_ply_header_layout(tmp_path):
     """The header must match the standard 3DGS property layout."""
     g = Gaussians.random(jax.random.PRNGKey(0), 5, sh_degree=1)

@@ -187,6 +187,30 @@ def test_trajectory_holds_previous_values(tmp_path):
     assert b is None
 
 
+def test_trajectory_unlisted_base_pose_is_nan_sentinel(tmp_path):
+    """An object never listed in base_poses must NOT get identity
+    (which would override its resting pose in render_rollout) —
+    ADVICE.md r1. Unlisted entries are NaN sentinels; explicitly listed
+    ones carry forward."""
+    import json as _json
+    from robosimgs_tpu.scenegen.trajectory import load_trajectory
+    m1 = URDFModel.parse(BOX_URDF)
+    m2 = URDFModel.parse(BOX_URDF)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [1.0, 2.0, 3.0]
+    data = {"objects": ["a", "b"], "steps": [
+        {"joints": {"a": [0.1], "b": [0.2]},
+         "base_poses": {"a": pose.tolist()}},
+        {"joints": {"a": [0.2], "b": [0.3]}},    # a holds explicit pose
+    ]}
+    p = tmp_path / "t.json"
+    p.write_text(_json.dumps(data))
+    _, b = load_trajectory(str(p), [m1, m2], object_names=["a", "b"])
+    np.testing.assert_allclose(b[0, 0], pose, atol=1e-6)
+    np.testing.assert_allclose(b[1, 0], pose, atol=1e-6)  # carried forward
+    assert np.isnan(b[:, 1]).all()                        # never listed
+
+
 def test_trajectory_dof_mismatch_raises(tmp_path):
     import json as _json
 
