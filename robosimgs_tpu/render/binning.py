@@ -45,6 +45,19 @@ class BinStats:
     total_pairs: jax.Array          # total (gaussian, tile) intersections
 
 
+def _divmod_small(e: jax.Array, d: jax.Array):
+    """(e // d, e % d) for small non-negative ints via f32 reciprocal.
+
+    Integer division lowers to a long VPU op sequence on TPU; for the
+    (N, M) tile-id expansion it dominated the binning profile. With
+    e < ~2^20 and d >= 1 the +0.5 midpoint keeps the true fractional
+    part >= 0.5/d away from integer boundaries, far beyond f32 rounding
+    error, so floor((e + 0.5) * (1/d)) is exact."""
+    inv = 1.0 / d.astype(jnp.float32)
+    q = jnp.floor((e.astype(jnp.float32) + 0.5) * inv).astype(jnp.int32)
+    return q, e - q * d
+
+
 def bin_rects(
     tx0: jax.Array, ty0: jax.Array, tx1: jax.Array, ty1: jax.Array,
     rank: jax.Array, valid: jax.Array,
@@ -66,8 +79,7 @@ def bin_rects(
 
     e = jnp.arange(M, dtype=jnp.int32)[None, :]            # (1, M)
     bw_safe = jnp.maximum(bw, 1)[:, None]
-    row = e // bw_safe
-    col = e % bw_safe
+    row, col = _divmod_small(e, bw_safe)
     valid_e = (e < cover[:, None]) & valid[:, None]
     tid = (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col)
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)     # T = sentinel, sorts last
@@ -203,7 +215,8 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     e = jnp.arange(M, dtype=jnp.int32)[None, :]
     bw_safe = jnp.maximum(bw, 1)[:, None]
     valid_e = (e < cover[:, None]) & valid_s[:, None]
-    tid = (ty0[:, None] + e // bw_safe) * tiles_x + (tx0[:, None] + e % bw_safe)
+    row, col = _divmod_small(e, bw_safe)
+    tid = (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col)
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)   # sentinel sorts last
 
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, M))

@@ -43,6 +43,12 @@ class RenderConfig:
     # never silent; raise these for scenes with very large splats)
     max_tiles_per_gaussian: int = 32
     tile_capacity: int = 1024
+    # VMEM-resident entries per compositing pass; the Pallas kernels
+    # stream ceil(tile_capacity / tile_chunk) chunks per tile with
+    # carried (color, transmittance) state, so tile_capacity is bounded
+    # by HBM, not VMEM, and overflow compositing is exact. 0 = whole
+    # capacity in one chunk. Must divide tile_capacity; multiple of 128.
+    tile_chunk: int = 0
     # reference-path pixel block rows processed at once (memory knob)
     ref_rows_per_block: int = 32
     ref_gaussian_chunk: int = 512

@@ -21,8 +21,13 @@ def composite_gathered(
     tiles_x: int,
     cfg: RenderConfig,
     dlim: jax.Array | None = None,  # (T, P) per-pixel depth limits
+    t_idx: jax.Array | None = None,  # (T,) within-image tile index
 ) -> jax.Array:
-    """Returns (T, 8, P) per-tile feature images, P = tile_size**2."""
+    """Returns (T, 8, P) per-tile feature images, P = tile_size**2.
+
+    t_idx overrides the per-row tile index used for pixel coordinates —
+    multi-camera batches concatenate the tile axis, so row i of image j
+    uses t_idx[i] = i % tiles_per_image."""
     ts = cfg.tile_size
     P = ts * ts
     K = geom.shape[2]
@@ -56,7 +61,8 @@ def composite_gathered(
         return jnp.einsum("ck,pk->cp", f, w, precision="highest")  # (8, P)
 
     T = geom.shape[0]
-    t_idx = jnp.arange(T, dtype=jnp.int32)
+    if t_idx is None:
+        t_idx = jnp.arange(T, dtype=jnp.int32)
     return jax.lax.map(one_tile, (t_idx, geom, feat, counts, dlim))
 
 

@@ -2,30 +2,42 @@
 
 The hot O(pixels x gaussians) stage of the rasterizer — the TPU-native
 replacement for gsplat's CUDA tile kernels (SURVEY.md §2.2). One grid
-step = one 16x16 tile; the tile's gathered Gaussians (capacity K) live
-in VMEM and are consumed in 128-wide lane blocks:
+step = one (16x16 tile, capacity chunk) pair; the chunk's gathered
+Gaussians (VMEM capacity Kc) are consumed in 128-wide lane blocks:
 
   * alpha evaluation is pure VPU work on (P, BK) blocks;
   * the front-to-back transmittance recurrence T *= (1 - alpha) is a
-    log-space prefix sum along lanes (Hillis–Steele with pltpu.roll);
+    LINEAR-space exclusive prefix product along lanes (Hillis-Steele
+    with pltpu.roll) — no log/exp transcendentals in the forward scan
+    (f32 underflow to 0 is exactly the saturated-tile semantics);
   * color accumulation and the backward reductions are MXU matmuls
     ((8, BK) x (BK, P) feature blocks against the weight matrix).
 
-The backward pass recomputes alphas per block (no residuals beyond the
-inputs) and turns gsplat's atomic per-pixel scatter into per-tile
-(8, K) gradient blocks that the caller segment-sums per Gaussian —
-atomics-free by construction (SURVEY.md hard part #2). A per-tile
-early-exit (while_loop on max remaining transmittance) skips fully
-saturated tails.
+Chunking (grid = (T, C), chunks innermost, carried VMEM scratch) makes
+`tile_capacity` an HBM-bounded TOTAL while only `tile_chunk` entries
+are VMEM-resident per pass — overflow compositing is exact, capacity is
+a perf knob, not a quality knob (VERDICT r1 item 3). The same carried
+(acc, T) state implements the blockwise-streaming scan of SURVEY.md §5.
+
+The backward pass is a SINGLE back-to-front sweep (gsplat-style): the
+forward emits the final per-pixel transmittance and the number of lane
+blocks it processed before saturating; the backward reconstructs T_k by
+un-multiplying block totals in log space (stable down to T=0) while the
+suffix gradient term accumulates naturally in reverse. Per-Gaussian
+grads leave as per-tile (8, K) blocks the caller segment-sums — no
+atomics (SURVEY.md hard part #2).
 
 Gradient semantics match the reference CUDA rasterizer: zero through
 the alpha clamp at 0.99, the 1/255 cutoff, and the 1e-4 stop test.
+
+`n_tiles_per_image` supports multi-camera batches by concatenating the
+tile axis: tile t of image j shares pixel coordinates with tile
+t % n_tiles_per_image of image 0 (scenegen rollout batching).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +50,7 @@ BK = 128  # gaussians per lane block
 
 
 def _cumsum_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along the last (lane) axis, Hillis–Steele."""
+    """Inclusive prefix sum along the last (lane) axis, Hillis-Steele."""
     n = x.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     s = 1
@@ -47,6 +59,19 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
         x = x + jnp.where(col >= s, shifted, 0.0)
         s *= 2
     return x
+
+
+def _excl_prod_lanes(x: jax.Array) -> jax.Array:
+    """Exclusive prefix product along lanes (identity 1 shifted in)."""
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    y = jnp.where(col >= 1, pltpu.roll(x, 1, axis=x.ndim - 1), 1.0)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(y, s, axis=y.ndim - 1)
+        y = y * jnp.where(col >= s, shifted, 1.0)
+        s *= 2
+    return y
 
 
 def _tile_pixel_coords(t, tiles_x: int, ts: int):
@@ -80,101 +105,107 @@ def _alpha_block(g, px, py, cfg: RenderConfig, dlim=None):
     return alpha, keep, raw, eq, q, dx, dy
 
 
-def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, out_ref, *, cfg: RenderConfig,
-                tiles_x: int, n_blocks: int):
+def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
+                out_ref, tfin_ref, nblk_ref, acc_scr, t_scr, nb_scr,
+                *, cfg: RenderConfig, tiles_x: int, n_tiles_img: int,
+                n_chunks: int, kc: int):
     ts = cfg.tile_size
-    P = ts * ts
     t = pl.program_id(0)
+    c = pl.program_id(1)
     count = counts_ref[t]
-    px, py = _tile_pixel_coords(t, tiles_x, ts)
+    px, py = _tile_pixel_coords(t % n_tiles_img, tiles_x, ts)
     dlim = dlim_ref[0]  # (P, 1)
-    log_tmin = math.log(cfg.transmittance_min)
+
+    @pl.when(c == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        t_scr[:] = jnp.ones_like(t_scr)
+        nb_scr[0] = 0
+
+    count_loc = jnp.clip(count - c * kc, 0, kc)
 
     def body(carry):
-        i, acc, logT = carry
+        i, acc, tc = carry
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
         alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
-        l = jnp.log1p(-alpha)
-        incl = _cumsum_lanes(l)
-        Tk = jnp.exp(logT + (incl - l))
-        Ta = Tk * (1.0 - alpha)
-        w = alpha * Tk * (Ta >= cfg.transmittance_min)
+        om = 1.0 - alpha
+        ep = _excl_prod_lanes(om)
+        Tk = tc * ep                                  # (P, BK)
+        w = alpha * Tk * (Tk * om >= cfg.transmittance_min)
         f = feat_ref[0, :, pl.ds(off, BK)]
         acc = acc + jax.lax.dot_general(
             f, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        logT = logT + incl[:, BK - 1:BK]
-        return i + 1, acc, logT
+        tc = tc * (ep[:, BK - 1:BK] * om[:, BK - 1:BK])
+        return i + 1, acc, tc
 
     def cond(carry):
-        i, _, logT = carry
-        alive = jnp.max(logT) >= log_tmin
-        return (i * BK < count) & alive
+        i, _, tc = carry
+        return (i * BK < count_loc) & (jnp.max(tc) >= cfg.transmittance_min)
 
-    init = (jnp.int32(0), jnp.zeros((8, P), jnp.float32), jnp.zeros((P, 1), jnp.float32))
-    _, acc, _ = jax.lax.while_loop(cond, body, init)
-    out_ref[0] = acc
+    n_i, acc, tc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), acc_scr[:], t_scr[:]))
+    acc_scr[:] = acc
+    t_scr[:] = tc
+    nb_scr[0] = nb_scr[0] + n_i
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[0] = acc_scr[:]
+        tfin_ref[0] = t_scr[:]
+        nblk_ref[t, 0] = nb_scr[0]   # full-array SMEM block, row = tile
 
 
-def _bwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, gout_ref, dgeom_ref, dfeat_ref,
-                *, cfg: RenderConfig, tiles_x: int, n_blocks: int):
+def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
+                tfin_ref, dgeom_ref, dfeat_ref, suf_scr, lt_scr,
+                *, cfg: RenderConfig, tiles_x: int, n_tiles_img: int,
+                n_chunks: int, kc: int):
     ts = cfg.tile_size
-    P = ts * ts
     t = pl.program_id(0)
-    count = counts_ref[t]
-    px, py = _tile_pixel_coords(t, tiles_x, ts)
+    cidx = pl.program_id(1)          # iteration order (0 = LAST chunk)
+    c = n_chunks - 1 - cidx          # actual chunk index, descending
+    nblk = nblk_ref[t]
+    px, py = _tile_pixel_coords(t % n_tiles_img, tiles_x, ts)
     dlim = dlim_ref[0]  # (P, 1)
     gout = gout_ref[0]  # (8, P)
+
+    @pl.when(cidx == 0)
+    def _():
+        suf_scr[:] = jnp.zeros_like(suf_scr)
+        # log of the forward's final transmittance; clamped so fully
+        # saturated pixels (T underflowed to 0) stay at a large finite
+        # negative log instead of -inf (exp still returns exactly 0)
+        lt_scr[:] = jnp.log(jnp.maximum(tfin_ref[0], 1e-45))
 
     dgeom_ref[0] = jnp.zeros_like(dgeom_ref[0])
     dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
-    # Pass A: total per-pixel gamma*w mass R_p (for the suffix term).
-    def body_a(carry):
-        i, R, logT = carry
-        off = pl.multiple_of(i * BK, BK)
-        g = geom_ref[0, :, pl.ds(off, BK)]
-        alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
-        l = jnp.log1p(-alpha)
-        incl = _cumsum_lanes(l)
-        Tk = jnp.exp(logT + (incl - l))
-        w = alpha * Tk * (Tk * (1.0 - alpha) >= cfg.transmittance_min)
-        f = feat_ref[0, :, pl.ds(off, BK)]
-        gamma = jax.lax.dot_general(
-            gout, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (P, BK)
-        R = R + jnp.sum(gamma * w, axis=1, keepdims=True)
-        logT = logT + incl[:, BK - 1:BK]
-        return i + 1, R, logT
+    blocks_per_chunk = kc // BK
+    n_loc = jnp.clip(nblk - c * blocks_per_chunk, 0, blocks_per_chunk)
 
-    def cond_a(carry):
-        i, _, logT = carry
-        return (i * BK < count) & (jnp.max(logT) >= math.log(cfg.transmittance_min))
-
-    init_a = (jnp.int32(0), jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
-    _, R_total, _ = jax.lax.while_loop(cond_a, body_a, init_a)
-
-    # Pass B: recompute + gradients per block.
-    def body_b(carry):
-        i, prefix_gw, logT = carry
+    def body(j, carry):
+        suf, lte = carry
+        i = n_loc - 1 - j
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
         alpha, keep, raw, eq, q, dx, dy = _alpha_block(g, px, py, cfg, dlim)
         ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
+        om = 1.0 - alpha
         l = jnp.log1p(-alpha)
         incl = _cumsum_lanes(l)
-        Tk = jnp.exp(logT + (incl - l))
-        m = (Tk * (1.0 - alpha) >= cfg.transmittance_min)
+        lin = lte - incl[:, BK - 1:BK]               # logT entering block
+        Tk = jnp.exp(lin + (incl - l))               # (P, BK)
+        m = (Tk * om >= cfg.transmittance_min)
         w = alpha * Tk * m
         f = feat_ref[0, :, pl.ds(off, BK)]
         gamma = jax.lax.dot_general(
             gout, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (P, BK)
+            precision=jax.lax.Precision.HIGHEST)     # (P, BK)
         gw = gamma * w
-        incl_gw = prefix_gw + _cumsum_lanes(gw)
-        suffix = R_total - incl_gw                      # sum over j > k
-        dalpha = jnp.where(m, gamma * Tk, 0.0) - suffix / (1.0 - alpha)
+        incl_gw = _cumsum_lanes(gw)
+        suffix = suf + (incl_gw[:, BK - 1:BK] - incl_gw)   # sum over j > k
+        dalpha = jnp.where(m, gamma * Tk, 0.0) - suffix / om
         dalpha = jnp.where(keep, dalpha, 0.0)
         unclamped = raw < cfg.alpha_clamp
         dq = jnp.where(unclamped, -alpha * dalpha, 0.0)
@@ -191,82 +222,116 @@ def _bwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref, gout_ref, dgeom_ref, d
             [dmx, dmy, dca, dcb, dcc, dop_s, zeros, zeros], axis=0)
         dfeat_ref[0, :, pl.ds(off, BK)] = jax.lax.dot_general(
             gout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (8, BK)
+            precision=jax.lax.Precision.HIGHEST)     # (8, BK)
+        return suf + incl_gw[:, BK - 1:BK], lin
 
-        prefix_gw = incl_gw[:, BK - 1:BK]
-        logT = logT + incl[:, BK - 1:BK]
-        return i + 1, prefix_gw, logT
-
-    def cond_b(carry):
-        i, _, logT = carry
-        return (i * BK < count) & (jnp.max(logT) >= math.log(cfg.transmittance_min))
-
-    init_b = (jnp.int32(0), jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
-    jax.lax.while_loop(cond_b, body_b, init_b)
+    suf, lte = jax.lax.fori_loop(0, n_loc, body, (suf_scr[:], lt_scr[:]))
+    suf_scr[:] = suf
+    lt_scr[:] = lte
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret"))
-def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int, cfg: RenderConfig,
-                         interpret: bool | None = None):
-    """(T,8,K) geom/feat + (T,) counts + (T,P) depth limits -> (T,8,P)."""
-    T, _, K = geom.shape
-    if K % BK != 0:
-        raise ValueError(f"tile_capacity {K} must be a multiple of {BK}")
-    P = cfg.tile_size * cfg.tile_size
-    if interpret is None:
-        interpret = _interpret()
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x, n_blocks=K // BK)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
-        interpret=interpret,
-    )(counts, geom, feat, dlim)
+def _chunking(cfg: RenderConfig, CK: int):
+    kc = cfg.tile_chunk or CK
+    if kc % BK != 0:
+        raise ValueError(f"tile_chunk {kc} must be a multiple of {BK}")
+    if CK % kc != 0:
+        raise ValueError(f"tile_capacity {CK} must be a multiple of "
+                         f"tile_chunk {kc}")
+    return kc, CK // kc
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret"))
-def composite_bwd_pallas(geom, feat, counts, dlim, gout, *, tiles_x: int, cfg: RenderConfig,
-                         interpret: bool | None = None):
-    """Backward: returns (dgeom, dfeat), each (T, 8, K)."""
-    T, _, K = geom.shape
+@functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret",
+                                             "n_tiles_per_image"))
+def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
+                         cfg: RenderConfig, interpret: bool | None = None,
+                         n_tiles_per_image: int = 0):
+    """(T,8,K) geom/feat + (T,) counts + (T,P,1) depth limits ->
+    (out (T,8,P), t_final (T,P,1), n_blocks (T,1) int32)."""
+    T, _, CK = geom.shape
+    kc, C = _chunking(cfg, CK)
     P = cfg.tile_size * cfg.tile_size
+    n_img = n_tiles_per_image or T
     if interpret is None:
         interpret = _interpret()
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, tiles_x=tiles_x, n_blocks=K // BK)
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x,
+                               n_tiles_img=n_img, n_chunks=C, kc=kc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T, C),
         in_specs=[
-            pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, 8, kc), lambda t, c, cnt: (t, 0, c)),
+            pl.BlockSpec((1, 8, kc), lambda t, c, cnt: (t, 0, c)),
+            pl.BlockSpec((1, P, 1), lambda t, c, cnt: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 8, K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, 8, P), lambda t, c, cnt: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t, c, cnt: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, P), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, 8, K), jnp.float32),
-            jax.ShapeDtypeStruct((T, 8, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, geom, feat, dlim, gout)
+    )(counts, geom, feat, dlim)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret",
+                                             "n_tiles_per_image"))
+def composite_bwd_pallas(geom, feat, counts, dlim, gout, tfin, nblk, *,
+                         tiles_x: int, cfg: RenderConfig,
+                         interpret: bool | None = None,
+                         n_tiles_per_image: int = 0):
+    """Backward (single back-to-front sweep): returns (dgeom, dfeat),
+    each (T, 8, K). tfin/nblk are the forward's carried outputs."""
+    T, _, CK = geom.shape
+    kc, C = _chunking(cfg, CK)
+    P = cfg.tile_size * cfg.tile_size
+    n_img = n_tiles_per_image or T
+    if interpret is None:
+        interpret = _interpret()
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, tiles_x=tiles_x,
+                               n_tiles_img=n_img, n_chunks=C, kc=kc)
+    rev = C - 1  # chunk iteration is reversed: cidx 0 touches chunk C-1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, 8, kc), lambda t, c, *_: (t, 0, rev - c)),
+            pl.BlockSpec((1, 8, kc), lambda t, c, *_: (t, 0, rev - c)),
+            pl.BlockSpec((1, P, 1), lambda t, c, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 8, P), lambda t, c, *_: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t, c, *_: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, kc), lambda t, c, *_: (t, 0, rev - c)),
+            pl.BlockSpec((1, 8, kc), lambda t, c, *_: (t, 0, rev - c)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 8, CK), jnp.float32),
+            jax.ShapeDtypeStruct((T, 8, CK), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, nblk, geom, feat, dlim, gout, tfin)

@@ -30,19 +30,27 @@ from robosimgs_tpu.render.tiles import num_tiles
 
 
 @functools.lru_cache(maxsize=None)
-def _make_compositor(tiles_x: int, cfg: RenderConfig, interpret: bool):
+def _make_compositor(tiles_x: int, cfg: RenderConfig, interpret: bool,
+                     n_tiles_per_image: int = 0):
     @jax.custom_vjp
     def comp(geom, feat, counts, dlim):
-        return composite_fwd_pallas(
-            geom, feat, counts, dlim, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
+        out, _, _ = composite_fwd_pallas(
+            geom, feat, counts, dlim, tiles_x=tiles_x, cfg=cfg,
+            interpret=interpret, n_tiles_per_image=n_tiles_per_image)
+        return out
 
     def fwd(geom, feat, counts, dlim):
-        return comp(geom, feat, counts, dlim), (geom, feat, counts, dlim)
+        out, tfin, nblk = composite_fwd_pallas(
+            geom, feat, counts, dlim, tiles_x=tiles_x, cfg=cfg,
+            interpret=interpret, n_tiles_per_image=n_tiles_per_image)
+        return out, (geom, feat, counts, dlim, tfin, nblk)
 
     def bwd(res, gout):
-        geom, feat, counts, dlim = res
+        geom, feat, counts, dlim, tfin, nblk = res
         dgeom, dfeat = composite_bwd_pallas(
-            geom, feat, counts, dlim, gout, tiles_x=tiles_x, cfg=cfg, interpret=interpret)
+            geom, feat, counts, dlim, gout, tfin, nblk.reshape(-1),
+            tiles_x=tiles_x, cfg=cfg, interpret=interpret,
+            n_tiles_per_image=n_tiles_per_image)
         return dgeom, dfeat, None, None
 
     comp.defvjp(fwd, bwd)
@@ -94,6 +102,67 @@ def composite_tiled(
     acc_a = img[..., 4]
     rgb = img[..., :3] + (1.0 - acc_a)[..., None] * background
     out = {"rgb": rgb, "alpha": acc_a, "depth": img[..., 3]}
+    if return_stats:
+        out["stats"] = stats
+    return out
+
+
+def composite_tiled_batch(
+    projs: Projected,
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    background: Optional[jax.Array] = None,
+    compositor: str = "pallas",
+    return_stats: bool = False,
+    depth_limit: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Multi-camera composite: `projs` has a leading camera axis (C, ...).
+
+    The compile-sane batched path (VERDICT r1 item 7): per-camera
+    binning is a vmap of the XLA sort pipeline (compiles once), and the
+    camera axis is CONCATENATED onto the tile axis so ONE Pallas grid of
+    C*T tiles composites every camera — no per-camera graph unrolling,
+    no vmap over pallas_call. Returns rgb/alpha/depth with a leading
+    camera axis; depth_limit is (C, H, W) if given.
+    """
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
+
+    geom, feat, counts, stats = jax.vmap(
+        lambda p: bin_and_gather_packed(p, width, height, cfg))(projs)
+    n_cam, T = counts.shape
+    K = geom.shape[-1]
+    P = cfg.tile_size * cfg.tile_size
+    geom_f = geom.reshape(n_cam * T, 8, K)
+    feat_f = feat.reshape(n_cam * T, 8, K)
+    counts_f = jax.lax.stop_gradient(counts.reshape(n_cam * T))
+
+    if depth_limit is None:
+        dlim = jnp.full((n_cam * T, P), jnp.inf, jnp.float32)
+    else:
+        dlim = jax.vmap(lambda d: tile_image(
+            jax.lax.stop_gradient(d), tiles_x, tiles_y, cfg.tile_size,
+            pad_value=jnp.inf))(depth_limit).reshape(n_cam * T, P)
+
+    if compositor == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        comp = _make_compositor(tiles_x, cfg, interpret, n_tiles_per_image=T)
+        out_tiles = comp(geom_f, feat_f, counts_f, dlim[..., None])
+    elif compositor == "jnp":
+        t_idx = jnp.arange(n_cam * T, dtype=jnp.int32) % T
+        out_tiles = composite_gathered(geom_f, feat_f, counts_f, tiles_x,
+                                       cfg, dlim, t_idx=t_idx)
+    else:
+        raise ValueError(f"unknown compositor {compositor!r}")
+
+    imgs = jax.vmap(lambda o: untile(o, tiles_x, tiles_y, width, height,
+                                     cfg.tile_size))(
+        out_tiles.reshape(n_cam, T, 8, P))
+    acc_a = imgs[..., 4]
+    rgb = imgs[..., :3] + (1.0 - acc_a)[..., None] * background
+    out = {"rgb": rgb, "alpha": acc_a, "depth": imgs[..., 3]}
     if return_stats:
         out["stats"] = stats
     return out

@@ -65,6 +65,27 @@ def main():
     print(f"1. pallas-vs-oracle maxdiff {d1:.2e}")
     assert d1 < 1e-4, d1
 
+    # 1b. chunked compositing (tile_chunk streaming) == unchunked, compiled
+    cfg_c = RenderConfig(tile_capacity=512, tile_chunk=128)
+    ac = np.asarray(composite_tiled(proj, 128, 128, cfg_c,
+                                    compositor="pallas")["rgb"])
+    d1b = np.abs(ac - a).max()
+    print(f"1b. chunked-vs-unchunked maxdiff {d1b:.2e}")
+    assert d1b < 1e-4, d1b
+
+    # 1c. batched multi-camera path == per-camera path, compiled
+    from robosimgs_tpu.render.tiled import composite_tiled_batch
+    cam2 = Camera.look_at([0.5, 4.0, 1.2], [0, 0, 0], [0, 0, 1], 60.0, 128, 128)
+    projs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                         proj, project(g, cam2, cfg))
+    ab = np.asarray(composite_tiled_batch(projs, 128, 128, cfg,
+                                          compositor="pallas")["rgb"])
+    a2 = np.asarray(composite_tiled(project(g, cam2, cfg), 128, 128, cfg,
+                                    compositor="pallas")["rgb"])
+    d1c = max(np.abs(ab[0] - a).max(), np.abs(ab[1] - a2).max())
+    print(f"1c. batched-vs-percam maxdiff {d1c:.2e}")
+    assert d1c < 1e-4, d1c
+
     # 2. TPU projection vs CPU projection
     cpu = jax.devices("cpu")[0]
     g_cpu = jax.tree.map(lambda x: jax.device_put(np.asarray(x), cpu), g)

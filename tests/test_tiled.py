@@ -106,8 +106,12 @@ def test_pallas_bwd_matches_jnp_autodiff():
 
     dgeom_ad, dfeat_ad = jax.grad(f, argnums=(0, 1))(geom, feat)
     dlim = jnp.full((geom.shape[0], CFG.tile_size ** 2, 1), jnp.inf, jnp.float32)
+    from robosimgs_tpu.render.pallas_kernels import composite_fwd_pallas
+    _, tfin, nblk = composite_fwd_pallas(
+        geom, feat, counts, dlim, tiles_x=tiles_x, cfg=CFG, interpret=True)
     dgeom_k, dfeat_k = composite_bwd_pallas(
-        geom, feat, counts, dlim, gout, tiles_x=tiles_x, cfg=CFG, interpret=True)
+        geom, feat, counts, dlim, gout, tfin, nblk.reshape(-1),
+        tiles_x=tiles_x, cfg=CFG, interpret=True)
 
     # feature rows 4..7 of feat are synthetic (ones/zeros) — not compared.
     np.testing.assert_allclose(np.asarray(dfeat_k)[:, :4], np.asarray(dfeat_ad)[:, :4],
@@ -140,6 +144,50 @@ def test_tiled_end_to_end_grad_matches_reference():
         a = np.asarray(grads_ref[name])
         b = np.asarray(grads_pal[name])
         np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-3, err_msg=name)
+
+
+def test_chunked_overflow_compositing_exact():
+    """tile_capacity is a perf knob, not a quality knob (VERDICT r1 #3):
+    a scene whose busiest tile needs ~4x one VMEM chunk must composite
+    EXACTLY (values and grads) when streamed in 128-entry chunks with
+    carried transmittance, matching both the unchunked pallas path and
+    the pure-jnp reference."""
+    cfg = RenderConfig(tile_capacity=512, tile_chunk=128,
+                       max_tiles_per_gaussian=64, ref_gaussian_chunk=64)
+    cfg1 = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=64,
+                        ref_gaussian_chunk=64)
+    cam = make_camera(32, 32, dist=5.0)
+    g = make_scene(400, seed=9)
+    proj = project(g, cam, cfg)
+    _, _, _, stats = jax.device_get(
+        __import__("robosimgs_tpu.render.binning", fromlist=["x"])
+        .bin_and_gather_packed(proj, 32, 32, cfg))
+    assert int(stats.max_tile_count) > 128, "scene too sparse for the test"
+
+    def render(c, compositor):
+        return composite_tiled(project(g, cam, c), 32, 32, c,
+                               compositor=compositor)
+
+    out_c = render(cfg, "pallas")
+    out_1 = render(cfg1, "pallas")
+    out_j = render(cfg1, "jnp")
+    np.testing.assert_allclose(np.asarray(out_c["rgb"]),
+                               np.asarray(out_1["rgb"]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_c["rgb"]),
+                               np.asarray(out_j["rgb"]), atol=1e-5, rtol=1e-5)
+
+    # gradients through the chunked path == unchunked == jnp autodiff
+    target = jnp.full((32, 32, 3), 0.3)
+
+    def loss(means, c, compositor):
+        out = composite_tiled(project(g.replace(means=means), cam, c),
+                              32, 32, c, compositor=compositor)
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    g_c = jax.grad(lambda m: loss(m, cfg, "pallas"))(g.means)
+    g_j = jax.grad(lambda m: loss(m, cfg1, "jnp"))(g.means)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_j),
+                               atol=1e-6, rtol=1e-3)
 
 
 @pytest.mark.parametrize("wh", [(40, 24), (64, 64)])
