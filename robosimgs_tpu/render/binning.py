@@ -200,9 +200,12 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
         proj.depths, ones, zeros, zeros, zeros,
     ], axis=1)  # (N, 16)
 
-    # Global front-to-back permutation.
-    order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf))
-    packed_sorted = packed[order]
+    # Global front-to-back permutation — applied only to the NARROW
+    # bbox inputs (means2d, radii, valid); the 16-wide packed matrix
+    # stays in original order and the final selection is mapped back
+    # through `order` (one (T, K) gather instead of an (N, 16) permute).
+    order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf)
+                        ).astype(jnp.int32)
     valid_s = proj.valid[order]
     radii_s = proj.radii[order]
     m2d_s = jax.lax.stop_gradient(proj.means2d)[order]
@@ -227,25 +230,37 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     # ascends with rank) and halves sort bandwidth (no payload array).
     gid_bits = max(1, (n - 1).bit_length())
     if (T + 1) << gid_bits <= 2**31:
+        # Sorted keys stay PACKED end-to-end: per-tile bounds come from
+        # searchsorted on shifted tile-id queries (key low bits are gid
+        # >= 0, so bisect_left at gid=0 lands on the tile boundary) and
+        # gid is unpacked only at the (T, K) gathered positions — no
+        # full-width (N*M) unpack arrays.
         packed_key = (tid.reshape(-1) << gid_bits) | gid.reshape(-1)
         s_key = jax.lax.sort(packed_key)
-        s_tid = s_key >> gid_bits
-        s_gid = s_key & ((1 << gid_bits) - 1)
+        bounds = jnp.searchsorted(
+            s_key, jnp.arange(T + 1, dtype=jnp.int32) << gid_bits)
+        idx0 = jnp.clip(bounds[:-1, None]
+                        + jnp.arange(K, dtype=jnp.int32)[None, :],
+                        0, n * M - 1)
+        sel_rank = s_key[idx0] & ((1 << gid_bits) - 1)   # (T, K)
     else:
         s_tid, s_gid = jax.lax.sort((tid.reshape(-1), gid.reshape(-1)),
                                     num_keys=1, is_stable=True)
+        bounds = jnp.searchsorted(s_tid, jnp.arange(T + 1, dtype=jnp.int32))
+        idx0 = jnp.clip(bounds[:-1, None]
+                        + jnp.arange(K, dtype=jnp.int32)[None, :],
+                        0, n * M - 1)
+        sel_rank = s_gid[idx0]
 
-    bounds = jnp.searchsorted(s_tid, jnp.arange(T + 1, dtype=jnp.int32))
     starts = bounds[:-1]
     full_counts = (bounds[1:] - starts).astype(jnp.int32)
     counts = jnp.minimum(full_counts, K)
 
-    idx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
     kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-    sel = jnp.where(kmask, s_gid[jnp.clip(idx, 0, n * M - 1)], 0)
+    sel = jnp.where(kmask, order[sel_rank], 0)           # original ids
     sel = jax.lax.stop_gradient(sel)
 
-    gathered = packed_sorted[sel]                        # (T, K, 16)
+    gathered = packed[sel]                               # (T, K, 16)
     # padding entries must be inert: zero their opacity column
     gathered = gathered.at[:, :, 5].set(
         jnp.where(kmask, gathered[:, :, 5], 0.0))

@@ -167,6 +167,48 @@ def densify_and_prune(
     return new, DensifyState.zero(n), spawn_mask
 
 
+def compact_and_resize(g: Gaussians, opt_state, dstate: DensifyState,
+                       new_capacity: int):
+    """Alive-prefix compaction + pool resize (SURVEY.md hard part #4).
+
+    One jitted permutation moves live Gaussians to a prefix (stable, so
+    relative order — and therefore training semantics — is preserved)
+    and slices/pads every capacity-leading array (parameters, Adam
+    moments, densify statistics) to `new_capacity`. The trainer calls
+    this at densify boundaries so per-step optimizer/projection work
+    scales with the ALIVE count, not a fixed worst-case pool: a
+    1M-capacity pool with 200k alive Gaussians pays for ~400k slots
+    (alive + spawn headroom) instead of 1M every Adam step.
+
+    `new_capacity` is static — each distinct value compiles its own
+    train step, so callers round it to a bucket (TrainConfig.pool_bucket)
+    to bound retraces. Returns (gaussians, opt_state, densify_state).
+    """
+    n = g.capacity
+    perm = jnp.argsort(~g.alive, stable=True)
+
+    def fix(x):
+        if not (isinstance(x, jax.Array) and x.ndim >= 1 and x.shape[0] == n):
+            return x
+        y = x[perm]
+        if new_capacity <= n:
+            return y[:new_capacity]
+        pad = jnp.zeros((new_capacity - n,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([y, pad], axis=0)
+
+    g2 = jax.tree_util.tree_map(fix, g)
+    if new_capacity > n:
+        # dead-slot padding: identity quat (normalized_quats is clip-
+        # guarded, but keep padding consistent with from_points) and
+        # tiny log-scale; alive pads False (bool zeros) automatically
+        g2 = g2.replace(
+            quats=g2.quats.at[n:, 0].set(1.0),
+            log_scales=g2.log_scales.at[n:].set(-5.0))
+    opt2 = jax.tree_util.tree_map(fix, opt_state)
+    d2 = jax.tree_util.tree_map(fix, dstate)
+    return g2, opt2, d2
+
+
 def reset_opacities(g: Gaussians, value: float = 0.01) -> Gaussians:
     """Periodic opacity clamp-down (3DGS opacity reset)."""
     cap = jnp.log(value / (1.0 - value))

