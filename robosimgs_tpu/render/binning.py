@@ -165,8 +165,29 @@ def gather_tile_features(proj: Projected, sel: jax.Array, counts: jax.Array, cfg
     return geom, feat
 
 
+def pack16(proj: Projected) -> jax.Array:
+    """The (N, 16) per-gaussian feature matrix consumed by the tile
+    compositors: columns 0..7 are the geom rows [mx, my, conic_a/b/c,
+    opacity, sg(depth), 0], columns 8..15 the feat rows [r, g, b, depth,
+    1, 0, 0, 0]. Shared by the fast binning path and the ring-streamed
+    compositor so their gathered payloads (and gradients) agree exactly.
+    """
+    zeros = jnp.zeros_like(proj.depths)
+    ones = jnp.ones_like(proj.depths)
+    mask_f = proj.valid.astype(jnp.float32)
+    sg = jax.lax.stop_gradient
+    return jnp.stack([
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+        proj.opacities * mask_f,
+        sg(proj.depths), zeros,
+        proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+        proj.depths, ones, zeros, zeros, zeros,
+    ], axis=1)
+
+
 def bin_and_gather_packed(proj: Projected, width: int, height: int,
-                          cfg: RenderConfig):
+                          cfg: RenderConfig, return_sel: bool = False):
     """Optimized bin+gather for the training hot path.
 
     Profile-driven redesign of bin_gaussians + gather_tile_features
@@ -177,9 +198,12 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     single (T, K) row gather of a (N, 16) packed feature matrix (one
     gather + one transpose instead of sixteen gathers).
 
-    Returns (geom (T,8,K), feat (T,8,K), counts (T,), stats). Gradients
-    flow to proj.* through the packed stack + two row gathers (their
-    transposes are row scatter-adds — the atomics-free accumulation).
+    Returns (geom (T,8,K), feat (T,8,K), counts (T,), stats); with
+    return_sel also the (T, K) int32 ORIGINAL-index selection matrix
+    (ring-streamed compositing uses it for global-id tie-breaking).
+    Gradients flow to proj.* through the packed stack + two row gathers
+    (their transposes are row scatter-adds — the atomics-free
+    accumulation).
     """
     tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
     T = tiles_x * tiles_y
@@ -187,28 +211,28 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     M = cfg.max_tiles_per_gaussian
     K = cfg.tile_capacity
 
-    # Pack per-gaussian features: geom rows 0..7 then feat rows 0..7.
-    zeros = jnp.zeros_like(proj.depths)
-    ones = jnp.ones_like(proj.depths)
-    mask_f = proj.valid.astype(jnp.float32)
-    packed = jnp.stack([
-        proj.means2d[:, 0], proj.means2d[:, 1],
-        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
-        proj.opacities * mask_f,
-        jax.lax.stop_gradient(proj.depths), zeros,
-        proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
-        proj.depths, ones, zeros, zeros, zeros,
-    ], axis=1)  # (N, 16)
+    # Pack per-gaussian features (geom rows 0..7, feat rows 0..7) in one
+    # differentiable (N, 16) matrix and the stop-gradient bbox inputs in
+    # a separate (N, 3) matrix — TPU gather cost scales with ROW COUNT,
+    # not row width (~10 ns/row measured), so two full-row permutes beat
+    # per-field narrow ones; and gathers must move WHOLE rows (a column
+    # slice fused into a gather/scatter de-vectorizes XLA's lowering to
+    # per-element ops, ~160x slower, measured).
+    sg = jax.lax.stop_gradient
+    packed = pack16(proj)
+    bbox_in = jnp.stack([
+        sg(proj.means2d[:, 0]), sg(proj.means2d[:, 1]),
+        jnp.where(proj.valid, proj.radii.astype(jnp.float32), 0.0),
+    ], axis=1)  # (N, 3)
 
-    # Global front-to-back permutation — applied only to the NARROW
-    # bbox inputs (means2d, radii, valid); the 16-wide packed matrix
-    # stays in original order and the final selection is mapped back
-    # through `order` (one (T, K) gather instead of an (N, 16) permute).
+    # Global front-to-back permutation (two full-row gathers).
     order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf)
                         ).astype(jnp.int32)
-    valid_s = proj.valid[order]
-    radii_s = proj.radii[order]
-    m2d_s = jax.lax.stop_gradient(proj.means2d)[order]
+    packed_s = packed[order]
+    bbox_s = bbox_in[order]
+    m2d_s = bbox_s[:, 0:2]
+    radii_s = bbox_s[:, 2]
+    valid_s = radii_s > 0.0
 
     tx0, ty0, tx1, ty1 = tile_bbox(m2d_s, radii_s, tiles_x, tiles_y,
                                    cfg.tile_size)
@@ -222,7 +246,6 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     tid = (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col)
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)   # sentinel sorts last
 
-    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, M))
     # entries are already depth-ordered (rows ascend in rank), so a
     # stable sort by tile id alone preserves front-to-back order per
     # tile. When (tid, gid) fits in 31 bits, pack both into ONE int32
@@ -230,37 +253,44 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     # ascends with rank) and halves sort bandwidth (no payload array).
     gid_bits = max(1, (n - 1).bit_length())
     if (T + 1) << gid_bits <= 2**31:
-        # Sorted keys stay PACKED end-to-end: per-tile bounds come from
-        # searchsorted on shifted tile-id queries (key low bits are gid
-        # >= 0, so bisect_left at gid=0 lands on the tile boundary) and
-        # gid is unpacked only at the (T, K) gathered positions — no
-        # full-width (N*M) unpack arrays.
+        gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                               (n, M))
         packed_key = (tid.reshape(-1) << gid_bits) | gid.reshape(-1)
         s_key = jax.lax.sort(packed_key)
+        # Per-tile bounds from searchsorted on shifted tile-id queries
+        # (key low bits are gid >= 0, so bisect_left at gid=0 lands on
+        # the tile boundary).
         bounds = jnp.searchsorted(
             s_key, jnp.arange(T + 1, dtype=jnp.int32) << gid_bits)
-        idx0 = jnp.clip(bounds[:-1, None]
-                        + jnp.arange(K, dtype=jnp.int32)[None, :],
-                        0, n * M - 1)
-        sel_rank = s_key[idx0] & ((1 << gid_bits) - 1)   # (T, K)
+        # Each tile's K candidates are CONTIGUOUS in the sorted keys:
+        # read them as T dynamic slices (vmap of dynamic_slice lowers
+        # to one gather with slice_sizes=K — 256 slice reads instead of
+        # T*K scalar gathers, ~15x cheaper on TPU).
+        s_key_pad = jnp.concatenate(
+            [s_key, jnp.full((K,), jnp.int32(2**31 - 1))])
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(s_key_pad, (s,), (K,))
+        )(jnp.minimum(bounds[:-1], n * M))               # (T, K)
+        sel_rank = win & ((1 << gid_bits) - 1)
     else:
+        gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                               (n, M))
         s_tid, s_gid = jax.lax.sort((tid.reshape(-1), gid.reshape(-1)),
                                     num_keys=1, is_stable=True)
         bounds = jnp.searchsorted(s_tid, jnp.arange(T + 1, dtype=jnp.int32))
-        idx0 = jnp.clip(bounds[:-1, None]
-                        + jnp.arange(K, dtype=jnp.int32)[None, :],
-                        0, n * M - 1)
-        sel_rank = s_gid[idx0]
+        s_gid_pad = jnp.concatenate([s_gid, jnp.zeros((K,), jnp.int32)])
+        sel_rank = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(s_gid_pad, (s,), (K,))
+        )(jnp.minimum(bounds[:-1], n * M))
 
     starts = bounds[:-1]
     full_counts = (bounds[1:] - starts).astype(jnp.int32)
     counts = jnp.minimum(full_counts, K)
 
     kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-    sel = jnp.where(kmask, order[sel_rank], 0)           # original ids
-    sel = jax.lax.stop_gradient(sel)
+    sel = jax.lax.stop_gradient(jnp.where(kmask, sel_rank, 0))
 
-    gathered = packed[sel]                               # (T, K, 16)
+    gathered = packed_s[sel]                             # (T, K, 16)
     # padding entries must be inert: zero their opacity column
     gathered = gathered.at[:, :, 5].set(
         jnp.where(kmask, gathered[:, :, 5], 0.0))
@@ -275,4 +305,6 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
         total_pairs=jnp.sum(jnp.where(valid_s, jnp.minimum(cover, M), 0)
                             ).astype(jnp.int32),
     )
+    if return_sel:
+        return geom, feat, counts, stats, order[sel]
     return geom, feat, counts, stats

@@ -84,11 +84,14 @@ def main():
     t_argsort = timeit(
         jax.jit(lambda d, v: jnp.argsort(jnp.where(v, d, jnp.inf))), depths, valid)
 
-    def narrow_permute(proj, order):
-        return (proj.valid[order], proj.radii[order],
-                jax.lax.stop_gradient(proj.means2d)[order])
-    valid_s, radii_s, m2d_s = jax.jit(narrow_permute)(proj, order)
-    t_permute = timeit(jax.jit(narrow_permute), proj, order)
+    def wide_permute(proj, order):
+        zeros = jnp.zeros_like(proj.depths)
+        packed = jnp.stack([proj.means2d[:, 0]] * 19, axis=1) + zeros[:, None]
+        return packed[order]
+    _ = jax.jit(wide_permute)(proj, order)
+    t_permute = timeit(jax.jit(wide_permute), proj, order)
+    valid_s, radii_s, m2d_s = (proj.valid[order], proj.radii[order],
+                               jax.lax.stop_gradient(proj.means2d)[order])
 
     def tid_expand(m2d_s, radii_s, valid_s):
         tx0, ty0, tx1, ty1 = tile_bbox(m2d_s, radii_s, tiles_x, tiles_y,
@@ -121,15 +124,17 @@ def main():
     bounds = jax.jit(bounds_fn)(s_key)
     t_search = timeit(jax.jit(bounds_fn), s_key)
 
-    def selgather(s_key, bounds, order):
-        idx0 = jnp.clip(bounds[:-1, None]
-                        + jnp.arange(K, dtype=jnp.int32)[None, :], 0, n * M - 1)
-        sel_rank = s_key[idx0] & ((1 << gid_bits) - 1)
+    def selgather(s_key, bounds):
+        s_key_pad = jnp.concatenate(
+            [s_key, jnp.full((K,), jnp.int32(2**31 - 1))])
+        win = jax.vmap(lambda s: jax.lax.dynamic_slice(s_key_pad, (s,), (K,)))(
+            jnp.minimum(bounds[:-1], n * M))
+        sel_rank = win & ((1 << gid_bits) - 1)
         counts = jnp.minimum(bounds[1:] - bounds[:-1], K)
         kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-        return jnp.where(kmask, order[sel_rank], 0), kmask
-    sel, kmask = jax.jit(selgather)(s_key, bounds, order)
-    t_selg = timeit(jax.jit(selgather), s_key, bounds, order)
+        return jnp.where(kmask, sel_rank, 0), kmask
+    sel, kmask = jax.jit(selgather)(s_key, bounds)
+    t_selg = timeit(jax.jit(selgather), s_key, bounds)
 
     def featgather(proj, sel, kmask):
         zeros = jnp.zeros_like(proj.depths)
@@ -148,6 +153,39 @@ def main():
         return jnp.swapaxes(gathered, 1, 2)
     gathered = jax.jit(featgather)(proj, sel, kmask)
     t_featg = timeit(jax.jit(featgather), proj, sel, kmask)
+
+    # transpose of (permute + full-row gather): the backward scatter path
+    def gather_bwd(proj, sel, kmask, ct):
+        def f(means2d, colors, opacities, depths):
+            packed = jnp.stack([
+                means2d[:, 0], means2d[:, 1], colors[:, 0], colors[:, 1],
+                colors[:, 2], opacities, depths, depths,
+                means2d[:, 0], means2d[:, 1], colors[:, 0], colors[:, 1],
+                colors[:, 2], opacities, depths, depths], axis=1)
+            g = packed[order][sel]
+            return jnp.sum(g * ct)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(
+            jax.lax.stop_gradient(proj.means2d), proj.colors,
+            proj.opacities, proj.depths)
+    ct = jnp.ones((T, K, 16), jnp.float32)
+    _ = jax.jit(gather_bwd)(proj, sel, kmask, ct)
+    t_gbwd = timeit(jax.jit(gather_bwd), proj, sel, kmask, ct)
+
+    # loss fwd+bwd alone (L1 + SSIM at res^2)
+    from robosimgs_tpu.train.losses import photometric_loss as _pl
+    img = jnp.zeros((res, res, 3)) + 0.3
+    tgt2 = jnp.zeros((res, res, 3))
+    t_loss = timeit(jax.jit(jax.grad(lambda a: _pl(a, tgt2))), img)
+
+    # adam update alone
+    opt2 = make_optimizer()
+    par2 = float_params(g)
+    os2 = opt2.init(par2)
+    def adam_step(par, os_):
+        import optax
+        up, os_ = opt2.update(par, os_, par)
+        return optax.apply_updates(par, up), os_
+    t_adam = timeit(jax.jit(adam_step), par2, os2)
 
     # -- full binning + kernels --
     bg = jax.jit(functools_partial(binning.bin_and_gather_packed,
@@ -206,9 +244,11 @@ def main():
         ("project", t_project), ("argsort", t_argsort),
         ("narrow-permute", t_permute), ("tid-expand", t_tid),
         ("key-pack", t_keypack), (f"sort({n*M//1000}k)", t_sort),
-        ("searchsorted", t_search), ("sel-gather", t_selg),
-        ("feat-gather", t_featg), ("bin_and_gather(fused)", t_bin_full),
+        ("searchsorted", t_search), ("sel-window", t_selg),
+        ("feat-gather", t_featg), ("gather-transpose(bwd)", t_gbwd),
+        ("bin_and_gather(fused)", t_bin_full),
         ("pallas-fwd", t_fwd_k), ("pallas-bwd", t_bwd_k),
+        ("loss-bwd", t_loss), ("adam", t_adam),
         ("fwd render e2e", t_render), ("value_and_grad e2e", t_grad),
         ("train step e2e", t_step),
     ]:
