@@ -167,7 +167,8 @@ def _leading_dim_specs(tree, n: int, axis_name: str):
 
 def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
                                      impl: str = "tiled",
-                                     return_grads: bool = False) -> Callable:
+                                     return_grads: bool = False,
+                                     gather: str = "all_gather") -> Callable:
     """Train step with the GAUSSIAN SET sharded over the 'data' axis.
 
     The memory-scaling strategy for beyond-HBM scenes (BASELINE.md
@@ -188,16 +189,28 @@ def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
     contribution. The true shard gradient is psum over 'tile' divided
     by n_shard*n_tile.
 
+    gather: "all_gather" (default — project the local shard, all-gather
+    the compact projected splats; the small-scene fast path) or "ring"
+    (never materialize the full set: raw parameter chunks rotate around
+    the 'data' ring via lax.ppermute and each tile rank merges top-K
+    per-tile candidates — per-device memory O(N/n_shard), the
+    beyond-HBM path; see parallel/ring.py). "ring" requires the tiled
+    impl (it produces pre-gathered tile blocks directly).
+
     Returns train_step(state, camera, target) -> (state, metrics);
     state arrays with leading dim == capacity are sharded on 'data'.
     """
     import optax
 
+    from robosimgs_tpu.parallel.ring import ring_render_rows
     from robosimgs_tpu.render.project import project
     from robosimgs_tpu.render.reference import composite_reference
     from robosimgs_tpu.render.tiled import composite_tiled
     from robosimgs_tpu.train.densify import update_stats
     from robosimgs_tpu.train.optim import FLOAT_FIELDS
+
+    if gather == "ring" and impl != "tiled":
+        raise ValueError("gather='ring' requires impl='tiled'")
 
     optimizer = make_optimizer(cfg.optim, cfg.scene_extent)
     n_shard = mesh.shape["data"]
@@ -212,17 +225,33 @@ def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
         bg = jnp.asarray(cfg.background, jnp.float32)
 
         def loss_fn(params, offset):
-            p = g.replace(**{**params, "sh_rest": params["sh_rest"] * mask})
+            masked = {**params, "sh_rest": params["sh_rest"] * mask}
             crop = _crop_camera_rows(camera, tile_rank * rows, rows)
-            proj_local = project(p, crop, cfg.render, means2d_offset=offset,
-                                 tan_half_fov=camera.tan_half_fov)
-            proj = jax.tree_util.tree_map(
-                lambda x: jax.lax.all_gather(x, "data", axis=0, tiled=True),
-                proj_local)
-            if impl == "reference":
-                out = composite_reference(proj, crop.width, rows, cfg.render, bg)
+            if gather == "ring":
+                out = ring_render_rows(masked, g.alive, offset, camera,
+                                       tile_rank, n_tile, cfg.render, bg,
+                                       "data", n_shard)
+                # densify stats (radii/valid of the local shard) are
+                # non-differentiable side outputs; recompute the local
+                # projection outside the ring's custom_vjp.
+                sg = jax.lax.stop_gradient
+                proj_local = project(
+                    g.replace(**jax.tree_util.tree_map(sg, masked)),
+                    crop, cfg.render, tan_half_fov=camera.tan_half_fov)
             else:
-                out = composite_tiled(proj, crop.width, rows, cfg.render, bg)
+                p = g.replace(**masked)
+                proj_local = project(p, crop, cfg.render,
+                                     means2d_offset=offset,
+                                     tan_half_fov=camera.tan_half_fov)
+                proj = jax.tree_util.tree_map(
+                    lambda x: jax.lax.all_gather(x, "data", axis=0, tiled=True),
+                    proj_local)
+                if impl == "reference":
+                    out = composite_reference(proj, crop.width, rows,
+                                              cfg.render, bg)
+                else:
+                    out = composite_tiled(proj, crop.width, rows,
+                                          cfg.render, bg)
             rgb_full = jax.lax.all_gather(out["rgb"], "tile", axis=0, tiled=True)
             loss = photometric_loss(rgb_full, target, cfg.ssim_lambda)
             return loss, (psnr(rgb_full, target), proj_local.radii,

@@ -87,12 +87,41 @@ def composite_tiled(
     else:
         dlim = tile_image(jax.lax.stop_gradient(depth_limit), tiles_x, tiles_y,
                           cfg.tile_size, pad_value=jnp.inf)
-    dlim_col = dlim[..., None]  # (T, P, 1) — Mosaic-friendly lane layout
+    out = composite_from_tiles(geom, feat, counts, width, height, cfg,
+                               background, compositor, dlim)
+    if return_stats:
+        out["stats"] = stats
+    return out
+
+
+def composite_from_tiles(
+    geom: jax.Array,            # (T, 8, K)
+    feat: jax.Array,            # (T, 8, K)
+    counts: jax.Array,          # (T,)
+    width: int,
+    height: int,
+    cfg: RenderConfig = RenderConfig(),
+    background: Optional[jax.Array] = None,
+    compositor: str = "pallas",
+    dlim: Optional[jax.Array] = None,    # (T, P) per-pixel depth limits
+) -> Dict[str, jax.Array]:
+    """Composite pre-gathered per-tile feature blocks into an image.
+
+    The entry point for callers that build geom/feat themselves (the
+    ring-streamed gaussian-sharded path assembles them by merging
+    per-shard chunks); composite_tiled is bin_and_gather_packed + this.
+    """
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
+    P = cfg.tile_size * cfg.tile_size
+    if dlim is None:
+        dlim = jnp.full((geom.shape[0], P), jnp.inf, jnp.float32)
 
     if compositor == "pallas":
         interpret = jax.default_backend() != "tpu"
         comp = _make_compositor(tiles_x, cfg, interpret)
-        out_tiles = comp(geom, feat, counts, dlim_col)
+        out_tiles = comp(geom, feat, counts, dlim[..., None])
     elif compositor == "jnp":
         out_tiles = composite_gathered(geom, feat, counts, tiles_x, cfg, dlim)
     else:
@@ -101,10 +130,7 @@ def composite_tiled(
     img = untile(out_tiles, tiles_x, tiles_y, width, height, cfg.tile_size)
     acc_a = img[..., 4]
     rgb = img[..., :3] + (1.0 - acc_a)[..., None] * background
-    out = {"rgb": rgb, "alpha": acc_a, "depth": img[..., 3]}
-    if return_stats:
-        out["stats"] = stats
-    return out
+    return {"rgb": rgb, "alpha": acc_a, "depth": img[..., 3]}
 
 
 def composite_tiled_batch(
