@@ -142,17 +142,24 @@ class OpenAIChat:
     use ScriptedMLLM there.
     """
 
-    def __init__(self, model: str = "gpt-4-turbo", timeout_s: float = 30.0):
-        import os
-
-        import openai  # noqa: F401 — raises if unavailable
-
-        self._openai = openai
+    def __init__(self, model: str = "gpt-4-turbo", timeout_s: float = 30.0,
+                 transport: Optional[Callable] = None):
+        """transport: optional callable(model, messages, seed, timeout_s)
+        -> str replacing the network call — lets tests (and alternative
+        OpenAI-compatible servers) validate the exact request shape
+        without the openai package or a key."""
         self.model = model
         self.timeout_s = timeout_s
-        self.api_key = os.environ.get("OPENAI_API_KEY")
-        if not self.api_key:
-            raise MLLMError("OPENAI_API_KEY not set")
+        self.transport = transport
+        if transport is None:
+            import os
+
+            import openai  # noqa: F401 — raises if unavailable
+
+            self._openai = openai
+            self.api_key = os.environ.get("OPENAI_API_KEY")
+            if not self.api_key:
+                raise MLLMError("OPENAI_API_KEY not set")
 
     @staticmethod
     def _b64(image: np.ndarray) -> str:
@@ -166,16 +173,25 @@ class OpenAIChat:
                                 0, 255).astype(np.uint8)).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode("ascii")
 
-    def chat(self, prompt: str, images: Sequence[np.ndarray] = (),
-             seed: Optional[int] = None) -> str:
+    def build_messages(self, prompt: str,
+                       images: Sequence[np.ndarray] = ()) -> list:
+        """The exact request body the reference sends (`gpt_utils.py:
+        105-125`): one user turn, text part first, then each image as a
+        base64 PNG data URL."""
         content = [{"type": "text", "text": prompt}]
         for img in images:
             content.append({"type": "image_url", "image_url": {
                 "url": f"data:image/png;base64,{self._b64(img)}"}})
+        return [{"role": "user", "content": content}]
+
+    def chat(self, prompt: str, images: Sequence[np.ndarray] = (),
+             seed: Optional[int] = None) -> str:
+        messages = self.build_messages(prompt, images)
+        if self.transport is not None:
+            return self.transport(self.model, messages, seed, self.timeout_s)
         client = self._openai.OpenAI(api_key=self.api_key, timeout=self.timeout_s)
         resp = client.chat.completions.create(
-            model=self.model, seed=seed,
-            messages=[{"role": "user", "content": content}])
+            model=self.model, seed=seed, messages=messages)
         return resp.choices[0].message.content
 
 

@@ -22,6 +22,7 @@ import os
 from typing import Dict, List, Optional, Sequence, Tuple  # noqa: F401
 
 import cv2
+import jax.numpy as jnp
 import numpy as np
 
 from robosimgs_tpu.artic.mllm import (ImageTextScorer, MaskGenerator,
@@ -133,6 +134,7 @@ class Segmenter:
         min_mask_area: float = 0.0,
         max_mask_area: float = 0.7,
         view_names: Optional[Sequence[str]] = None,
+        visual_prompt: str = "blur",
     ):
         self.mesh = mesh
         self.out_dir = out_dir
@@ -143,6 +145,11 @@ class Segmenter:
         self.mask_dilate_px = mask_dilate_px
         self.min_mask_area = min_mask_area
         self.max_mask_area = max_mask_area
+        # "blur" = FGVP blur-mask prompt before scorer ranking (the
+        # reference's default when FGVP is installed,
+        # interactive_segmenter.py:155-165); "white" = plain
+        # white-background mask crop.
+        self.visual_prompt = visual_prompt
         # None = the six axis-aligned views; the reference's
         # SimpleSegmenter style uses ("top_oblique", "bottom_oblique")
         self.view_names = view_names
@@ -246,11 +253,24 @@ class Segmenter:
             pool = containing or candidates
             best = min(pool, key=lambda m: m.sum())  # tightest containing mask
         elif self.scorer is not None:
-            # rank by scoring each masked crop against the part name
-            scores = []
-            for m in candidates:
-                crop = np.where(m[..., None], image, 1.0)
-                scores.append(float(self.scorer.score(crop, [prompt, "background"])[0]))
+            # rank by scoring each visually-prompted candidate against
+            # the part name. Default prompt = FGVP blur-mask (sharp
+            # inside the mask, heavy blur outside — the reference runs
+            # this before CLIP ranking); the blurred base image is
+            # computed once and reused across candidates.
+            if self.visual_prompt == "blur":
+                from robosimgs_tpu.artic.visual_prompt import gaussian_blur
+                h = image.shape[0]
+                blurred = np.asarray(gaussian_blur(
+                    jnp.asarray(image, jnp.float32),
+                    max(1.0, 100.0 * h / 800)))
+                prompted = [np.where(m[..., None], image, blurred)
+                            for m in candidates]
+            else:
+                prompted = [np.where(m[..., None], image, 1.0)
+                            for m in candidates]
+            scores = [float(self.scorer.score(im, [prompt, "background"])[0])
+                      for im in prompted]
             best = candidates[int(np.argmax(scores))]
         else:
             best = max(candidates, key=lambda m: m.sum())

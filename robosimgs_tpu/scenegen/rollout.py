@@ -103,6 +103,44 @@ def _jitted_composite_batched(cfg: RenderConfig, mesh_cfg: MeshRasterConfig,
     return jax.jit(fn)
 
 
+_SHARDED_CACHE: Dict = {}
+
+
+def make_camera_sharded_renderer(cfg: RenderConfig, mesh_cfg: MeshRasterConfig,
+                                 impl: str, device_mesh, n_cameras: int,
+                                 as_uint8: bool = False):
+    """One-timestep renderer with cameras SHARDED over the 'data' mesh
+    axis (the ≥90%-linear-scaling workload, BASELINE.md config 4): each
+    chip renders n_cameras/n_data cameras against the replicated scene,
+    independently — zero collectives in the hot path, so scaling is
+    bounded only by per-chip render time. Use a (n, 1) mesh; any 'tile'
+    axis present is treated as replication.
+
+    Returns fn(background, cam_batch, meshes, bg_color) -> (C, H, W, 3)
+    where cam_batch is a stacked Camera pytree (stack_cameras)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_data = device_mesh.shape["data"]
+    assert n_cameras % n_data == 0, (n_cameras, n_data)
+    local = n_cameras // n_data
+
+    def per_device(background, cam_batch, meshes, bg_color):
+        outs = []
+        for i in range(local):
+            cam = jax.tree_util.tree_map(lambda x: x[i], cam_batch)
+            rgb = render_composite(background, cam, list(meshes), cfg,
+                                   mesh_cfg, background=bg_color,
+                                   impl=impl)["rgb"]
+            outs.append(rgb)
+        out = jnp.stack(outs)
+        return _quantize_u8(out) if as_uint8 else out
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=device_mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=P("data"), check_vma=False))
+
+
 def render_rollout(
     background: Gaussians,
     objects: Sequence[ArticulatedObject],
@@ -114,6 +152,7 @@ def render_rollout(
     impl: str = "auto",
     base_poses: Optional[np.ndarray] = None,   # (T, n_objects, 4, 4)
     batch_cameras: bool = False,
+    camera_mesh=None,
     as_uint8: bool = False,
 ) -> np.ndarray:
     """Render (T, C, H, W, 3) rollout frames.
@@ -124,6 +163,11 @@ def render_rollout(
     carried while its joints articulate). Rendering is jitted once per
     camera resolution / mesh topology (posed vertices and camera
     pytrees are traced values), so a T x C rollout pays one compile.
+
+    camera_mesh: optional jax.sharding.Mesh with a 'data' axis — shards
+    the camera set across devices (make_camera_sharded_renderer);
+    len(cameras) must divide by the axis size and all resolutions must
+    match.
     """
     if impl == "auto":
         impl = "reference" if jax.default_backend() == "cpu" else "tiled"
@@ -132,7 +176,16 @@ def render_rollout(
     # as_uint8 quantizes on-device: 4x less host transfer, which
     # dominates rollout wall time on remote-attached chips (frames are
     # written as 8-bit images anyway)
-    if batch_cameras:
+    if camera_mesh is not None:
+        from robosimgs_tpu.parallel.distributed import stack_cameras
+
+        key = (cfg, mesh_cfg, impl, len(cameras), as_uint8, camera_mesh)
+        if key not in _SHARDED_CACHE:
+            _SHARDED_CACHE[key] = make_camera_sharded_renderer(
+                cfg, mesh_cfg, impl, camera_mesh, len(cameras), as_uint8)
+        comps = _SHARDED_CACHE[key]
+        cam_batch = stack_cameras(list(cameras))
+    elif batch_cameras:
         compb = _jitted_composite_batched(cfg, mesh_cfg, impl, len(cameras),
                                           as_uint8)
     else:
@@ -147,7 +200,10 @@ def render_rollout(
             if base is not None and np.isnan(base).any():
                 base = None   # never listed in the trajectory: resting pose
             meshes.extend(obj.posed_meshes(q, base_pose=base))
-        if batch_cameras:
+        if camera_mesh is not None:
+            frames.append(comps(background, cam_batch, tuple(meshes),
+                                bg_color))
+        elif batch_cameras:
             frames.append(compb(background, tuple(cameras), tuple(meshes),
                                 bg_color))
         else:

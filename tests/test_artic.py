@@ -327,3 +327,144 @@ def test_oblique_views_mode(tmp_path):
     assert set(views) == {"top_oblique", "bottom_oblique"}
     for v in views.values():
         assert np.isfinite(v["clean"]).all()
+
+
+# -- golden openbox parity (reference's shipped worked example) ------------
+
+_OPENBOX = "/root/reference/Articulation/openbox_output"
+
+
+@pytest.mark.skipif(not os.path.isdir(_OPENBOX),
+                    reason="reference openbox_output not mounted")
+def test_openbox_golden_hinge_parity(tmp_path):
+    """Drop-in behavioral comparison against the reference's committed
+    worked example: run HingeDetector + ArticulationPipeline on the
+    reference's actual part meshes and compare hinge axis/position and
+    URDF/metadata against `openbox_output/urdf/metadata.json`
+    (reference `hinge_detector.py:27-95`, `pipeline.py:360-403`).
+
+    Documented deltas: the reference loads meshes through trimesh
+    (which welds vertices) and queries a float64 cKDTree; we parse the
+    GLB directly and use matmul distance minima — the contact set can
+    differ by a few boundary vertices, so the axis is compared by
+    |cos angle| and the position with a 2 cm tolerance."""
+    from robosimgs_tpu.utils.meshio import load_mesh
+
+    body = load_mesh(os.path.join(_OPENBOX, "parts", "body.glb"))
+    lid = load_mesh(os.path.join(_OPENBOX, "parts", "lid.glb"))
+    golden = json.loads(open(os.path.join(_OPENBOX, "urdf",
+                                          "metadata.json")).read())
+
+    hinge = HingeDetector(lid, body).detect()
+    g_pos = np.asarray(golden["hinge"]["original_position"])
+    g_axis = np.asarray(golden["hinge"]["axis"])
+    np.testing.assert_allclose(hinge.position, g_pos, atol=0.02)
+    cos = abs(float(np.dot(hinge.axis, g_axis)))
+    assert cos > 0.995, f"axis cos {cos}: {hinge.axis} vs {g_axis}"
+    assert abs(hinge.confidence - golden["hinge"]["axis_confidence"]) < 0.05
+
+    # full pipeline with the reference's recommended parameters
+    params = URDFParams(object_type="box", lower=0.0, upper=1.57)
+    pipe = ArticulationPipeline(lid, body)
+    meta = pipe.generate(str(tmp_path), params=params,
+                         movable_name="lid", base_name="body")
+    md = json.loads((tmp_path / "metadata.json").read_text())
+    assert md["joint_limits"]["lower"] == golden["joint_limits"]["lower"]
+    assert md["joint_limits"]["upper"] == golden["joint_limits"]["upper"]
+    assert md["dynamics"] == golden["dynamics"]
+    # same artifact contract: URDF + centered part meshes
+    assert (tmp_path / "body_centered.glb").exists()
+    assert (tmp_path / "lid_centered.glb").exists()
+    model = URDFModel.parse(meta["urdf_path"])
+    assert model.validate() == []
+    # translation recentering: metadata translation is -position
+    np.testing.assert_allclose(
+        np.asarray(md["hinge"]["translation_applied"]),
+        -np.asarray(md["hinge"]["original_position"]), atol=1e-6)
+
+
+# -- FGVP blur-mask ranking + adapter request shaping ----------------------
+
+
+class RecordingScorer:
+    """Records every image it scores; prefers the smaller mask."""
+
+    def __init__(self):
+        self.images = []
+
+    def score(self, image, labels):
+        self.images.append(np.asarray(image))
+        return np.array([1.0 / (1 + len(self.images)), 0.0])
+
+
+def test_segment_part_uses_blur_mask_prompt():
+    """The scorer path must rank FGVP blur-mask prompts (sharp inside
+    the candidate mask, Gaussian-blurred outside — reference
+    `interactive_segmenter.py:155-165`), not white-background crops."""
+    m = box_mesh((0.4, 0.4, 0.4))
+    scorer = RecordingScorer()
+    seg = Segmenter(m, mask_generator=TopHalfMaskGen(), scorer=scorer,
+                    resolution=64)
+    rng = np.random.default_rng(0)
+    image = rng.uniform(0.0, 1.0, (64, 64, 3)).astype(np.float32)
+    seg.segment_part(image, "lid")
+    assert len(scorer.images) == 2
+    for im, mask_frac in zip(scorer.images, (0.25, 0.5)):
+        H = im.shape[0]
+        inside = im[: int(H * mask_frac)]
+        outside = im[int(H * mask_frac):]
+        # inside the mask: untouched pixels
+        np.testing.assert_allclose(inside, image[: int(H * mask_frac)],
+                                   atol=1e-6)
+        # outside: blurred (not white, not the original, much smoother)
+        assert not np.allclose(outside, 1.0)
+        assert not np.allclose(outside, image[int(H * mask_frac):], atol=1e-3)
+        assert outside.std() < 0.5 * image[int(H * mask_frac):].std()
+
+    # white-crop fallback still available
+    seg_w = Segmenter(m, mask_generator=TopHalfMaskGen(),
+                      scorer=RecordingScorer(), resolution=64,
+                      visual_prompt="white")
+    seg_w.segment_part(image, "lid")
+    im0 = seg_w.scorer.images[0]
+    np.testing.assert_allclose(im0[40:], 1.0)
+
+
+def test_openai_chat_request_shaping_with_stub_transport():
+    """Adapter request contract (reference `gpt_utils.py:105-125`): one
+    user turn, text part first, base64 PNG data-URL per image, seed and
+    timeout forwarded — validated without the openai package."""
+    from robosimgs_tpu.artic.mllm import OpenAIChat
+
+    calls = {}
+
+    def transport(model, messages, seed, timeout_s):
+        calls.update(model=model, messages=messages, seed=seed,
+                     timeout_s=timeout_s)
+        return '{"ok": true}'
+
+    client = OpenAIChat(model="gpt-4-turbo", transport=transport)
+    img = np.zeros((8, 8, 3), np.float32)
+    img[0, 0] = 1.0
+    out = client.chat("describe", images=[img, img], seed=100)
+    assert out == '{"ok": true}'
+    assert calls["model"] == "gpt-4-turbo"
+    assert calls["seed"] == 100
+    assert calls["timeout_s"] == 30.0
+    (msg,) = calls["messages"]
+    assert msg["role"] == "user"
+    content = msg["content"]
+    assert content[0] == {"type": "text", "text": "describe"}
+    assert len(content) == 3
+    import base64
+    import io
+
+    from PIL import Image as PILImage
+    for part in content[1:]:
+        url = part["image_url"]["url"]
+        assert url.startswith("data:image/png;base64,")
+        decoded = PILImage.open(
+            io.BytesIO(base64.b64decode(url.split(",", 1)[1])))
+        arr = np.asarray(decoded)
+        assert arr.shape[:2] == (8, 8)
+        assert arr[0, 0, 0] == 255 and arr[1, 1, 0] == 0

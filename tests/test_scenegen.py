@@ -241,3 +241,28 @@ def test_render_rollout_uint8(tmp_path):
     assert f8.dtype == np.uint8
     np.testing.assert_allclose(
         f8.astype(np.float32) / 255.0, np.clip(f32, 0, 1), atol=1 / 255 + 1e-6)
+
+
+def test_render_rollout_camera_sharded(tmp_path):
+    """Camera-sharded rollout (BASELINE config 4 workload): 8 cameras
+    over an 8-way 'data' mesh must match the per-camera dispatch path
+    exactly — the sharding is pure data parallelism with no collectives."""
+    from robosimgs_tpu.parallel.mesh import make_mesh
+
+    save_mesh(str(tmp_path / "body.glb"), box_mesh())
+    save_mesh(str(tmp_path / "lid.glb"), box_mesh((0.5, 0.5, 0.05)))
+    (tmp_path / "robot.urdf").write_text(BOX_URDF)
+    obj = ArticulatedObject.from_urdf(str(tmp_path / "robot.urdf"))
+    bg = Gaussians.random(jax.random.PRNGKey(0), 50, sh_degree=1, extent=2.0)
+    cams = [Camera.look_at([3 * np.cos(a), 3 * np.sin(a), 1.5], [0, 0, 0],
+                           [0, 0, 1], 60.0, 32, 32)
+            for a in np.linspace(0, 2 * np.pi, 8, endpoint=False)]
+    traj = open_close_trajectory(obj.model, steps=2)
+    mesh = make_mesh(8, 1)
+    cfg = RenderConfig(tile_capacity=128)
+    sharded = render_rollout(bg, [obj], traj, cams, cfg=cfg,
+                             impl="reference", camera_mesh=mesh)
+    percam = render_rollout(bg, [obj], traj, cams, cfg=cfg,
+                            impl="reference")
+    assert sharded.shape == percam.shape == (2, 8, 32, 32, 3)
+    np.testing.assert_allclose(sharded, percam, atol=1e-5)
