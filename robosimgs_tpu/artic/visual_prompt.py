@@ -14,14 +14,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from robosimgs_tpu.train.losses import _blur, _gauss_window
+from robosimgs_tpu.train.losses import _blur
 
 
 def gaussian_blur(image: jax.Array, std: float) -> jax.Array:
     """Separable Gaussian blur of (H, W, C); window = 4 std (odd)."""
     size = int(4 * std) | 1
     size = min(size, 2 * min(image.shape[:2]) - 1)
-    return _blur(image, _gauss_window(size, std))
+    return _blur(image, size, float(std))
 
 
 def blur_mask_prompt(image: jax.Array, mask: jax.Array,

@@ -176,13 +176,19 @@ def pack16(proj: Projected) -> jax.Array:
     ones = jnp.ones_like(proj.depths)
     mask_f = proj.valid.astype(jnp.float32)
     sg = jax.lax.stop_gradient
+    # columns 7 / 15 are the absgrad probe (zeros as VALUES; their
+    # COTANGENTS carry the per-pixel |dL/dmean2d| sums written by the
+    # Pallas backward, riding the same binning transpose as everything
+    # else). Without a probe they're literal zeros.
+    px = proj.abs_probe[:, 0] if proj.abs_probe is not None else zeros
+    py_ = proj.abs_probe[:, 1] if proj.abs_probe is not None else zeros
     return jnp.stack([
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
         proj.opacities * mask_f,
-        sg(proj.depths), zeros,
+        sg(proj.depths), px,
         proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
-        proj.depths, ones, zeros, zeros, zeros,
+        proj.depths, ones, zeros, zeros, py_,
     ], axis=1)
 
 

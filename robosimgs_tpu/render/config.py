@@ -39,6 +39,13 @@ class RenderConfig:
     # sqrt(det(cov2d)/det(cov2d+blur)) so the low-pass blur doesn't
     # brighten small splats (gsplat "antialiased" rasterize mode)
     antialiased: bool = False
+    # absgrad densification signal (gsplat absgrad / splatfacto):
+    # the Pallas backward additionally accumulates the per-PIXEL
+    # absolute screen-space gradient |dL/dmean2d| (signed sums cancel
+    # on symmetric residuals and under-densify); exposed as the
+    # gradient of Projected.abs_probe. Only the pallas compositor
+    # computes it.
+    absgrad: bool = False
     # static capacities (overflow/truncation is counted in BinStats,
     # never silent; raise these for scenes with very large splats)
     max_tiles_per_gaussian: int = 32

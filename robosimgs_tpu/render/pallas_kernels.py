@@ -211,18 +211,29 @@ def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
         dq = jnp.where(unclamped, -alpha * dalpha, 0.0)
         dop = jnp.where(unclamped, eq * dalpha, 0.0)
 
-        dmx = -jnp.sum(dq * (ca * dx + cb * dy), axis=0, keepdims=True)
-        dmy = -jnp.sum(dq * (cc * dy + cb * dx), axis=0, keepdims=True)
+        dmx_px = -dq * (ca * dx + cb * dy)           # per-pixel (P, BK)
+        dmy_px = -dq * (cc * dy + cb * dx)
+        dmx = jnp.sum(dmx_px, axis=0, keepdims=True)
+        dmy = jnp.sum(dmy_px, axis=0, keepdims=True)
         dca = jnp.sum(dq * 0.5 * dx * dx, axis=0, keepdims=True)
         dcb = jnp.sum(dq * dx * dy, axis=0, keepdims=True)
         dcc = jnp.sum(dq * 0.5 * dy * dy, axis=0, keepdims=True)
         dop_s = jnp.sum(dop, axis=0, keepdims=True)
         zeros = jnp.zeros_like(dmx)
+        # absgrad (gsplat absgrad semantics): per-pixel |screen grad|
+        # summed BEFORE sign cancellation, emitted as the cotangent of
+        # the abs_probe columns (geom row 7 = x, feat row 7 = y)
+        absx = (jnp.sum(jnp.abs(dmx_px), axis=0, keepdims=True)
+                if cfg.absgrad else zeros)
         dgeom_ref[0, :, pl.ds(off, BK)] = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dop_s, zeros, zeros], axis=0)
-        dfeat_ref[0, :, pl.ds(off, BK)] = jax.lax.dot_general(
+            [dmx, dmy, dca, dcb, dcc, dop_s, zeros, absx], axis=0)
+        dfeat = jax.lax.dot_general(
             gout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)     # (8, BK)
+        if cfg.absgrad:
+            absy = jnp.sum(jnp.abs(dmy_px), axis=0, keepdims=True)
+            dfeat = jnp.concatenate([dfeat[:7], absy], axis=0)
+        dfeat_ref[0, :, pl.ds(off, BK)] = dfeat
         return suf + incl_gw[:, BK - 1:BK], lin
 
     suf, lte = jax.lax.fori_loop(0, n_loc, body, (suf_scr[:], lt_scr[:]))

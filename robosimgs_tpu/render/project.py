@@ -12,6 +12,7 @@ compositing stage (render/pallas) needs a hand-written VJP.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,11 @@ class Projected:
     colors: jax.Array
     opacities: jax.Array
     valid: jax.Array
+    # optional (N, 2) zeros probe whose GRADIENT carries the absgrad
+    # densification signal (sum over pixels of |dL/dmean2d|) when
+    # RenderConfig.absgrad is on — rides pack16 columns 7/15 through
+    # the binning transpose (see pallas_kernels._bwd_kernel)
+    abs_probe: Optional[jax.Array] = None
 
 
 def project(
@@ -53,6 +59,7 @@ def project(
     sh_degree: int | None = None,
     means2d_offset: jax.Array | None = None,
     tan_half_fov: tuple | None = None,
+    abs_probe: jax.Array | None = None,
 ) -> Projected:
     """means2d_offset: optional (N, 2) zeros whose gradient exposes the
     per-Gaussian screen-space gradient (the densification signal the
@@ -156,4 +163,5 @@ def project(
         colors=colors,
         opacities=opacities,
         valid=valid,
+        abs_probe=abs_probe,
     )

@@ -38,38 +38,49 @@ def _gauss_window(size: int, sigma: float):
     return jnp.asarray(_gauss_window_np(size, sigma))
 
 
-def _blur(img: jax.Array, window: jax.Array) -> jax.Array:
-    """Separable depthwise blur of (H, W, C), SAME padding."""
-    c = img.shape[-1]
-    size = window.shape[0]
-    x = img[None].transpose(0, 3, 1, 2)  # NCHW
-    kh = jnp.broadcast_to(window.reshape(1, 1, size, 1), (c, 1, size, 1))
-    kw = jnp.broadcast_to(window.reshape(1, 1, 1, size), (c, 1, 1, size))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    pad = size // 2
-    # full-f32 convs: TPU's default bf16 passes add gradient noise that
-    # measurably slows 3DGS convergence
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
-                                     dimension_numbers=dn, feature_group_count=c,
-                                     precision=jax.lax.Precision.HIGHEST)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
-                                     dimension_numbers=dn, feature_group_count=c,
-                                     precision=jax.lax.Precision.HIGHEST)
-    return x.transpose(0, 2, 3, 1)[0]
+@functools.lru_cache(maxsize=16)
+def _band_matrix_np(length: int, size: int, sigma: float) -> np.ndarray:
+    """(length, length) banded blur matrix == separable 1D conv with
+    SAME zero padding (out-of-range taps contribute 0)."""
+    w = _gauss_window_np(size, sigma)
+    m = np.zeros((length, length), np.float32)
+    half = size // 2
+    for k in range(size):
+        off = k - half
+        d = np.full(length - abs(off), w[k], np.float32)
+        m += np.diag(d, off)
+    return m
+
+
+def _blur(img: jax.Array, size: int, sigma: float) -> jax.Array:
+    """Separable blur of (H, W, C), SAME padding, as two BAND-MATRIX
+    matmuls — the 11-tap depthwise convs this replaces lowered to slow
+    VPU passes on TPU; a (H, H) @ (H, W*C) banded matmul does the same
+    contraction on the MXU (the band matrix is >95% zeros, but the MXU
+    doesn't care and the total is ~100 MFLOP at 256^2). Full-f32: TPU's
+    default bf16 passes add gradient noise that measurably slows 3DGS
+    convergence."""
+    H, W, C = img.shape
+    bh = jnp.asarray(_band_matrix_np(H, size, sigma))
+    bw = jnp.asarray(_band_matrix_np(W, size, sigma))
+    hp = jax.lax.Precision.HIGHEST
+    x = jnp.matmul(bh, img.reshape(H, W * C), precision=hp).reshape(H, W, C)
+    x = jax.lax.dot_general(x, bw, (((1,), (1,)), ((), ())),
+                            precision=hp)               # (H, C, W)
+    return jnp.transpose(x, (0, 2, 1))
 
 
 def ssim(pred: jax.Array, target: jax.Array, window_size: int = 11,
          sigma: float = 1.5, c1: float = 0.01**2, c2: float = 0.03**2) -> jax.Array:
     """Mean SSIM over an (H, W, C) image pair in [0, 1]."""
-    w = _gauss_window(window_size, sigma)
-    mu_p = _blur(pred, w)
-    mu_t = _blur(target, w)
+    mu_p = _blur(pred, window_size, sigma)
+    mu_t = _blur(target, window_size, sigma)
     mu_pp = mu_p * mu_p
     mu_tt = mu_t * mu_t
     mu_pt = mu_p * mu_t
-    sig_p = _blur(pred * pred, w) - mu_pp
-    sig_t = _blur(target * target, w) - mu_tt
-    sig_pt = _blur(pred * target, w) - mu_pt
+    sig_p = _blur(pred * pred, window_size, sigma) - mu_pp
+    sig_t = _blur(target * target, window_size, sigma) - mu_tt
+    sig_pt = _blur(pred * target, window_size, sigma) - mu_pt
     num = (2 * mu_pt + c1) * (2 * sig_pt + c2)
     den = (mu_pp + mu_tt + c1) * (sig_p + sig_t + c2)
     return jnp.mean(num / den)

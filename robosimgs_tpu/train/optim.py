@@ -53,8 +53,13 @@ def float_params(g: Gaussians) -> dict:
     return {k: getattr(g, k) for k in FLOAT_FIELDS}
 
 
-def make_optimizer(cfg: OptimConfig = OptimConfig(), scene_extent: float = 1.0):
-    """Returns an optax GradientTransformation over float_params dicts."""
+def make_optimizer(cfg: OptimConfig = OptimConfig(), scene_extent: float = 1.0,
+                   exposure_lr: float | None = None):
+    """Returns an optax GradientTransformation over float_params dicts.
+
+    exposure_lr: when set, the param dict additionally carries an
+    "exposure" entry (per-frame color affines, trainer.py) optimized
+    with its own Adam group."""
     def adam(lr):
         return optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
 
@@ -66,7 +71,11 @@ def make_optimizer(cfg: OptimConfig = OptimConfig(), scene_extent: float = 1.0):
         "sh_dc": adam(cfg.sh_dc_lr),
         "sh_rest": adam(cfg.sh_rest_lr),
     }
-    return optax.multi_transform(transforms, {k: k for k in FLOAT_FIELDS})
+    labels = {k: k for k in FLOAT_FIELDS}
+    if exposure_lr is not None:
+        transforms["exposure"] = adam(exposure_lr)
+        labels["exposure"] = "exposure"
+    return optax.multi_transform(transforms, labels)
 
 
 def reset_slots_in_opt_state(opt_state, spawn_mask: jax.Array):

@@ -32,8 +32,8 @@ from robosimgs_tpu.train.densify import (DensifyConfig, DensifyState,
                                          densify_and_prune, reset_opacities,
                                          update_stats)
 from robosimgs_tpu.train.losses import photometric_loss, psnr
-from robosimgs_tpu.train.optim import (OptimConfig, float_params,
-                                       make_optimizer,
+from robosimgs_tpu.train.optim import (FLOAT_FIELDS, OptimConfig,
+                                       float_params, make_optimizer,
                                        reset_slots_in_opt_state)
 
 import optax
@@ -83,6 +83,18 @@ class TrainConfig:
     dynamic_pool: bool = True
     pool_bucket: int = 8192
     pool_headroom: float = 1.0
+    # splatfacto-parity quality features (all off by default):
+    # scale regularizer — penalizes needle gaussians whose max/min scale
+    # ratio exceeds scale_reg_max_ratio (splatfacto
+    # use_scale_regularization; nerfstudio splatfacto.py)
+    scale_reg_lambda: float = 0.0
+    scale_reg_max_ratio: float = 10.0
+    # per-frame affine exposure/appearance correction (3x4 color affine,
+    # identity-initialized, optimized jointly — the role of splatfacto's
+    # appearance embedding for captures with auto-exposure drift).
+    # Training PSNR is reported post-correction; eval_psnr stays raw.
+    exposure: bool = False
+    exposure_lr: float = 1.0e-3
 
 
 @jax.tree_util.register_dataclass
@@ -93,6 +105,15 @@ class TrainState:
     densify_state: DensifyState
     step: jax.Array
     key: jax.Array
+    # (n_frames, 3, 4) per-frame affine color correction, or None when
+    # TrainConfig.exposure is off
+    exposure: Optional[jax.Array] = None
+
+
+def identity_exposure(n_frames: int) -> jax.Array:
+    """Identity 3x4 color affines for every frame."""
+    e = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    return jnp.tile(e[None], (n_frames, 1, 1))
 
 
 def _sh_mask(step: jax.Array, warmup_every: int, n_rest: int) -> jax.Array:
@@ -103,9 +124,11 @@ def _sh_mask(step: jax.Array, warmup_every: int, n_rest: int) -> jax.Array:
 
 
 def _render_for_training(g: Gaussians, camera: Camera, cfg: TrainConfig,
-                         offset: jax.Array, impl: str):
+                         offset: jax.Array, impl: str,
+                         abs_probe: Optional[jax.Array] = None):
     bg = jnp.asarray(cfg.background, jnp.float32)
-    proj = project(g, camera, cfg.render, means2d_offset=offset)
+    proj = project(g, camera, cfg.render, means2d_offset=offset,
+                   abs_probe=abs_probe)
     if impl == "reference":
         out = composite_reference(proj, camera.width, camera.height, cfg.render, bg)
         out["overflow"] = jnp.int32(0)
@@ -119,36 +142,67 @@ def _render_for_training(g: Gaussians, camera: Camera, cfg: TrainConfig,
 
 
 def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
-    optimizer = make_optimizer(cfg.optim, cfg.scene_extent)
+    if cfg.render.absgrad and impl == "reference":
+        raise ValueError("absgrad needs the tiled/Pallas impl (the "
+                         "reference compositor's autodiff cannot observe "
+                         "per-pixel absolute gradients)")
+    optimizer = make_optimizer(cfg.optim, cfg.scene_extent,
+                               exposure_lr=cfg.exposure_lr if cfg.exposure
+                               else None)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, camera: Camera, target: jax.Array):
+    def train_step(state: TrainState, camera: Camera, target: jax.Array,
+                   frame_idx: jax.Array = jnp.int32(0)):
         g = state.gaussians
         mask = _sh_mask(state.step, cfg.sh_warmup_every, g.sh_rest.shape[1])
         offset = jnp.zeros((g.capacity, 2), jnp.float32)
+        absgrad = cfg.render.absgrad
+        absp = jnp.zeros((g.capacity, 2), jnp.float32) if absgrad else None
 
-        def loss_fn(params: dict, offset):
-            p = g.replace(**{**params, "sh_rest": params["sh_rest"] * mask})
-            out, proj = _render_for_training(p, camera, cfg, offset, impl)
-            loss = photometric_loss(out["rgb"], target, cfg.ssim_lambda)
-            return loss, (out["rgb"], proj.radii, proj.valid, out["overflow"])
+        def loss_fn(params: dict, offset, absp):
+            p = g.replace(**{**{k: params[k] for k in FLOAT_FIELDS},
+                             "sh_rest": params["sh_rest"] * mask})
+            out, proj = _render_for_training(p, camera, cfg, offset, impl,
+                                             abs_probe=absp)
+            rgb = out["rgb"]
+            if cfg.exposure:
+                e = params["exposure"][frame_idx]            # (3, 4)
+                rgb = jnp.clip(rgb @ e[:, :3].T + e[:, 3], 0.0, None)
+            loss = photometric_loss(rgb, target, cfg.ssim_lambda)
+            if cfg.scale_reg_lambda > 0.0:
+                ls = params["log_scales"]
+                ratio = jnp.exp(jnp.max(ls, -1) - jnp.min(ls, -1))
+                pen = jnp.maximum(ratio, cfg.scale_reg_max_ratio) \
+                    - cfg.scale_reg_max_ratio
+                n_alive = jnp.maximum(jnp.sum(g.alive), 1)
+                loss = loss + cfg.scale_reg_lambda * \
+                    jnp.sum(jnp.where(g.alive, pen, 0.0)) / n_alive
+            return loss, (rgb, proj.radii, proj.valid, out["overflow"])
 
         params = float_params(g)
+        if cfg.exposure:
+            params["exposure"] = state.exposure
+        argnums = (0, 1, 2) if absgrad else (0, 1)
         (loss, (rgb, radii, valid, overflow)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, offset)
-        p_grads, offset_grad = grads
+            loss_fn, argnums=argnums, has_aux=True)(params, offset, absp)
+        p_grads, offset_grad = grads[0], grads[1]
+        # densification signal: absgrad (per-pixel |grad| sums, no sign
+        # cancellation) when enabled, else the signed screen gradient
+        densify_grad = grads[2] if absgrad else offset_grad
 
-        dstate = update_stats(state.densify_state, offset_grad, radii, valid,
+        dstate = update_stats(state.densify_state, densify_grad, radii, valid,
                               camera.width, camera.height)
 
         updates, opt_state = optimizer.update(p_grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        new_g = g.replace(**new_params)
+        new_g = g.replace(**{k: new_params[k] for k in FLOAT_FIELDS})
         metrics = {"loss": loss, "psnr": psnr(rgb, target),
                    "n_alive": g.num_alive, "overflow": overflow}
         return TrainState(gaussians=new_g, opt_state=opt_state,
                           densify_state=dstate, step=state.step + 1,
-                          key=state.key), metrics
+                          key=state.key,
+                          exposure=new_params.get("exposure",
+                                                  state.exposure)), metrics
 
     return train_step
 
@@ -164,7 +218,7 @@ def make_densify_step(cfg: TrainConfig) -> Callable:
             cfg.scene_extent, enable_scale_prune=enable_scale_prune)
         opt_state = reset_slots_in_opt_state(state.opt_state, spawn)
         return TrainState(gaussians=g, opt_state=opt_state, densify_state=dstate,
-                          step=state.step, key=key)
+                          step=state.step, key=key, exposure=state.exposure)
 
     return densify_step
 
@@ -179,13 +233,21 @@ class Trainer:
         if impl == "auto":
             impl = "tiled" if jax.default_backend() == "tpu" else "reference"
         self.impl = impl
-        optimizer = make_optimizer(cfg.optim, cfg.scene_extent)
+        optimizer = make_optimizer(cfg.optim, cfg.scene_extent,
+                                   exposure_lr=cfg.exposure_lr if cfg.exposure
+                                   else None)
+        params0 = float_params(gaussians)
+        exposure0 = None
+        if cfg.exposure:
+            exposure0 = identity_exposure(len(frames))
+            params0 = {**params0, "exposure": exposure0}
         self.state = TrainState(
             gaussians=gaussians,
-            opt_state=optimizer.init(float_params(gaussians)),
+            opt_state=optimizer.init(params0),
             densify_state=DensifyState.zero(gaussians.capacity),
             step=jnp.asarray(0, jnp.int32),
             key=jax.random.PRNGKey(0),
+            exposure=exposure0,
         )
         self._train_step = make_train_step(cfg, impl)
         self._densify_step = make_densify_step(cfg)
@@ -229,7 +291,8 @@ class Trainer:
             idx = step % len(self.frames)
             cam = self.frames[idx].camera
             target = targets[idx]
-            self.state, metrics = self._train_step(self.state, cam, target)
+            self.state, metrics = self._train_step(self.state, cam, target,
+                                                   jnp.int32(idx))
 
             if (cfg.dynamic_pool and step > 0
                     and step % cfg.densify_interval == 0

@@ -214,3 +214,47 @@ def test_recommend_capacities():
     _, _, counts, stats = bin_and_gather_packed(proj, cam.width, cam.height, cfg)
     assert int(stats.truncated_gaussians) == 0
     assert int(stats.overflowed_tiles) == 0
+
+
+def test_absgrad_matches_per_pixel_jacobian():
+    """absgrad (RenderConfig.absgrad): the gradient of the abs_probe
+    must equal the sum over pixels of the ABSOLUTE per-pixel screen
+    gradient — computed here from the reference compositor's full
+    jacobian (jacrev rows = true per-pixel cotangent contributions;
+    gsplat absgrad semantics)."""
+    import jax
+
+    from robosimgs_tpu.core.camera import Camera
+    from robosimgs_tpu.core.types import Gaussians
+    from robosimgs_tpu.render.project import project
+    from robosimgs_tpu.render.reference import composite_reference
+    from robosimgs_tpu.render.tiled import composite_tiled
+
+    n, W, H = 20, 32, 32
+    cfg = RenderConfig(tile_capacity=128, ref_gaussian_chunk=64, absgrad=True)
+    cam = Camera.look_at([3.0, 0.4, 0.8], [0, 0, 0], [0, 0, 1], 55.0, W, H)
+    g = Gaussians.random(jax.random.PRNGKey(5), n, sh_degree=1)
+    wts = jax.random.uniform(jax.random.PRNGKey(6), (H, W, 3))
+
+    def loss_tiled(absp):
+        proj = project(g, cam, cfg, abs_probe=absp)
+        return jnp.sum(composite_tiled(proj, W, H, cfg)["rgb"] * wts)
+
+    absgrad = jax.grad(loss_tiled)(jnp.zeros((n, 2)))
+
+    def rgb_ref(off):
+        proj = project(g, cam, cfg, means2d_offset=off)
+        return composite_reference(proj, W, H, cfg)["rgb"]
+
+    J = jax.jacrev(rgb_ref)(jnp.zeros((n, 2)))     # (H, W, 3, n, 2)
+    per_px = jnp.einsum("hwc,hwcnk->hwnk", wts, J)
+    gt = jnp.sum(jnp.abs(per_px), axis=(0, 1))     # (n, 2)
+
+    assert float(jnp.max(gt)) > 1e-4, "degenerate test scene"
+    np.testing.assert_allclose(np.asarray(absgrad), np.asarray(gt),
+                               atol=1e-5, rtol=2e-3)
+    # absgrad dominates the signed gradient componentwise
+    signed = jax.grad(lambda off: jnp.sum(
+        composite_tiled(project(g, cam, cfg, means2d_offset=off),
+                        W, H, cfg)["rgb"] * wts))(jnp.zeros((n, 2)))
+    assert np.all(np.asarray(absgrad) >= np.abs(np.asarray(signed)) - 1e-5)
