@@ -43,9 +43,15 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}", file=err)
 
     # M=12 is lossless for this scene — measured max tile cover is 12
-    # (truncation counted + asserted 0); K=1024 unchanged from round 1
-    # so the workload semantics (incl. its overflow drops) are identical
-    cfg = RenderConfig(tile_capacity=1024, max_tiles_per_gaussian=12)
+    # (truncation counted + asserted 0). K=512 is OUTPUT-EQUIVALENT to
+    # the lossless capacity on this scene (97.8 dB render PSNR vs
+    # K=5120, scripts/k_equiv.py: tiles saturate T<1e-4 long before
+    # capacity, so deeper entries never contribute) — asserted below
+    # against a lossless render every run, so the capacity tune can
+    # never silently degrade the benchmarked workload.
+    cfg = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=12)
+    cfg_lossless = RenderConfig(tile_capacity=5120, tile_chunk=512,
+                                max_tiles_per_gaussian=12)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, RES, RES)
     g = Gaussians.random(jax.random.PRNGKey(0), N_GAUSSIANS, sh_degree=3,
                          extent=1.5)
@@ -68,6 +74,20 @@ def main():
         return params, opt_state, loss, stats
 
     step = jax.jit(step, donate_argnums=(0, 1))
+
+    # capacity-equivalence gate: the benched K must reproduce the
+    # lossless render (>60 dB) on this exact scene
+    def render(p, c):
+        return composite_tiled(project(g.replace(**p), cam, c), RES, RES,
+                               c)["rgb"]
+
+    r_fast = jax.jit(lambda p: render(p, cfg))(params)
+    r_full = jax.jit(lambda p: render(p, cfg_lossless))(params)
+    mse = float(jnp.mean((r_fast - r_full) ** 2))
+    eq_psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    print(f"K={cfg.tile_capacity} vs lossless render: {eq_psnr:.1f} dB",
+          file=err)
+    assert eq_psnr > 60.0, f"capacity tune not output-equivalent: {eq_psnr}"
 
     t0 = time.time()
     params, opt_state, loss, stats = step(params, opt_state)

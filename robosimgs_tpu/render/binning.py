@@ -231,10 +231,15 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
         jnp.where(proj.valid, proj.radii.astype(jnp.float32), 0.0),
     ], axis=1)  # (N, 3)
 
-    # Global front-to-back permutation (two full-row gathers).
+    # Global front-to-back permutation. Only the narrow bbox inputs are
+    # permuted up front; the wide 16-column payload is gathered ONCE at
+    # the end through the COMPOSED index order[sel] — fusing the
+    # depth-permute into the tile gather removes an (N, 16) row gather
+    # from the forward and, more importantly, its N-row scatter-add
+    # transpose from the backward (scatters run ~3x the issue cost of
+    # gathers; measured in docs/ROOFLINE.md).
     order = jnp.argsort(jnp.where(proj.valid, proj.depths, jnp.inf)
                         ).astype(jnp.int32)
-    packed_s = packed[order]
     bbox_s = bbox_in[order]
     m2d_s = bbox_s[:, 0:2]
     radii_s = bbox_s[:, 2]
@@ -294,9 +299,10 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     counts = jnp.minimum(full_counts, K)
 
     kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-    sel = jax.lax.stop_gradient(jnp.where(kmask, sel_rank, 0))
+    sel = jax.lax.stop_gradient(
+        order[jnp.where(kmask, sel_rank, 0)])            # (T, K) ORIGINAL ids
 
-    gathered = packed_s[sel]                             # (T, K, 16)
+    gathered = packed[sel]                               # (T, K, 16)
     # padding entries must be inert: zero their opacity column
     gathered = gathered.at[:, :, 5].set(
         jnp.where(kmask, gathered[:, :, 5], 0.0))
@@ -312,5 +318,5 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
                             ).astype(jnp.int32),
     )
     if return_sel:
-        return geom, feat, counts, stats, order[sel]
+        return geom, feat, counts, stats, sel
     return geom, feat, counts, stats

@@ -28,6 +28,9 @@ class Frame:
     camera: Camera
     image_path: Optional[str] = None
     image: Optional[np.ndarray] = None  # (H, W, 3) float32 in [0,1]
+    # lens distortion (k1, k2, p1, p2) of the CAPTURED image; applied
+    # (i.e. removed) at load time so `camera` is a true pinhole
+    distortion: Optional[np.ndarray] = None
 
     def load(self, background: Sequence[float] = (0.0, 0.0, 0.0)) -> np.ndarray:
         if self.image is not None:
@@ -35,13 +38,29 @@ class Frame:
         from PIL import Image
 
         img = Image.open(self.image_path)
+        if (img.width, img.height) != (self.camera.width, self.camera.height):
+            # camera was downscaled (parse_transforms_json downscale=N):
+            # bring the image to the camera's resolution
+            img = img.resize((self.camera.width, self.camera.height),
+                             Image.LANCZOS)
         arr = np.asarray(img).astype(np.float32) / 255.0
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, -1)
         if arr.shape[-1] == 4:
             a = arr[..., 3:4]
             arr = arr[..., :3] * a + np.asarray(background, np.float32) * (1 - a)
-        self.image = arr[..., :3]
+        arr = arr[..., :3]
+        if self.distortion is not None \
+                and np.any(np.abs(self.distortion) > 1e-12):
+            # normalized-coordinate warp: resolution-independent, so the
+            # (possibly downscaled) camera intrinsics are the right ones
+            from robosimgs_tpu.utils.undistort import undistort_image
+
+            arr = undistort_image(arr, float(self.camera.fx),
+                                  float(self.camera.fy),
+                                  float(self.camera.cx),
+                                  float(self.camera.cy), self.distortion)
+        self.image = arr
         return self.image
 
 

@@ -95,6 +95,15 @@ class TrainConfig:
     # Training PSNR is reported post-correction; eval_psnr stays raw.
     exposure: bool = False
     exposure_lr: float = 1.0e-3
+    # target residency: None = auto (host-resident when the target set
+    # exceeds host_data_threshold bytes, else all uploaded once).
+    # Host-resident mode streams each step's target with an async
+    # device_put issued one step AHEAD, so the upload overlaps the
+    # previous step's compute — HBM holds two frames instead of the
+    # whole dataset (a few hundred 1080p frames would otherwise evict
+    # the gaussian pool).
+    host_data: Optional[bool] = None
+    host_data_threshold: int = 1 << 30
 
 
 @jax.tree_util.register_dataclass
@@ -236,6 +245,11 @@ class Trainer:
         optimizer = make_optimizer(cfg.optim, cfg.scene_extent,
                                    exposure_lr=cfg.exposure_lr if cfg.exposure
                                    else None)
+        # own our buffers: the jitted train step donates the state, so
+        # aliasing the caller's arrays would delete their Gaussians
+        # after the first step (bit a second Trainer built on the same
+        # init object)
+        gaussians = jax.tree_util.tree_map(jnp.copy, gaussians)
         params0 = float_params(gaussians)
         exposure0 = None
         if cfg.exposure:
@@ -281,16 +295,31 @@ class Trainer:
     def run(self, iterations: Optional[int] = None, progress: bool = True):
         cfg = self.cfg
         iters = iterations or cfg.iterations
-        # upload targets once; track the step python-side — forcing
-        # int(state.step) would sync the device every iteration
-        targets = [jnp.asarray(t) for t in self.targets()]
+        # track the step python-side — forcing int(state.step) would
+        # sync the device every iteration
+        targets_np = self.targets()
+        total_bytes = sum(t.nbytes for t in targets_np)
+        host = (cfg.host_data if cfg.host_data is not None
+                else total_bytes > cfg.host_data_threshold)
+        if host:
+            targets = None
+            # one-step-ahead async upload pipeline
+            step0 = int(self.state.step)
+            pending = jax.device_put(targets_np[step0 % len(self.frames)])
+        else:
+            targets = [jnp.asarray(t) for t in targets_np]
         step0 = int(self.state.step)
         t0 = time.time()
         for i in range(iters):
             step = step0 + i
             idx = step % len(self.frames)
             cam = self.frames[idx].camera
-            target = targets[idx]
+            if host:
+                target = pending
+                pending = jax.device_put(
+                    targets_np[(step + 1) % len(self.frames)])
+            else:
+                target = targets[idx]
             self.state, metrics = self._train_step(self.state, cam, target,
                                                    jnp.int32(idx))
 

@@ -8,8 +8,10 @@ Gaussian initialization (the reference pipeline gets both via
 Nerfstudio's COLMAP processing, `/root/reference/README.md:73-75`).
 
 Supported camera models: SIMPLE_PINHOLE, PINHOLE, SIMPLE_RADIAL,
-RADIAL, OPENCV (distortion coefficients are reported but not applied —
-undistort images upstream, as ns-process-data does).
+RADIAL, OPENCV. Distortion coefficients are carried on each Frame and
+removed at image-load time (`utils/undistort.py`), matching what
+ns-process-data's COLMAP image_undistorter does upstream of the
+reference pipeline.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import numpy as np
 
 from robosimgs_tpu.core.camera import Camera
 from robosimgs_tpu.train.data import Frame
+from robosimgs_tpu.utils.undistort import normalize_distortion
 
 _CAMERA_MODELS = {
     0: ("SIMPLE_PINHOLE", 3),   # f, cx, cy
@@ -124,18 +127,12 @@ def load_colmap(sparse_dir: str, images_dir: Optional[str] = None,
         xyz = np.zeros((0, 3), np.float32)
         rgb = np.zeros((0, 3), np.float32)
 
-    warned = set()
     frames = []
     for im in sorted(images, key=lambda d: d["name"]):
         c = cameras[im["camera_id"]]
-        if any(abs(d) > 1e-9 for d in c["distortion"]) \
-                and im["camera_id"] not in warned:
-            warned.add(im["camera_id"])
-            import warnings
-            warnings.warn(
-                f"COLMAP camera {im['camera_id']} ({c['model']}) has nonzero "
-                f"distortion {c['distortion']} which is NOT applied - "
-                "undistort images upstream (ns-process-data does)")
+        # lens model -> canonical (k1, k2, p1, p2); Frame.load applies
+        # the backward warp so downstream sees true pinhole images
+        dist = normalize_distortion(c["model"], c["distortion"])
         R = _qvec_to_rotmat(im["qvec"])
         t = im["tvec"]
         c2w = np.eye(4, dtype=np.float32)
@@ -148,5 +145,6 @@ def load_colmap(sparse_dir: str, images_dir: Optional[str] = None,
             cam = cam.resized(c["width"] // downscale, c["height"] // downscale)
         img_path = (os.path.join(images_dir, im["name"])
                     if images_dir else None)
-        frames.append(Frame(camera=cam, image_path=img_path))
+        frames.append(Frame(camera=cam, image_path=img_path,
+                            distortion=dist))
     return frames, xyz, rgb

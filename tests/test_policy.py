@@ -149,3 +149,60 @@ def test_closed_loop_eval(tmp_path):
     assert res.joint_history[-1, 0] <= 1.57 + 1e-6
     assert res.frames.shape[0] == 6
     assert res.final_error is not None
+
+
+def test_action_chunker_receding_horizon():
+    from robosimgs_tpu.policy.inference import ActionChunker
+
+    calls = {"n": 0}
+    horizon, dof = 8, 2
+
+    def policy_fn(images, states):
+        # encode the newest state into the chunk so replan points are
+        # observable: action[k] = newest_state + k
+        calls["n"] += 1
+        base = states[0, -1]
+        ks = np.arange(horizon, dtype=np.float32)[:, None]
+        return (base[None] + ks)[None]
+
+    ch = ActionChunker(policy_fn, obs_horizon=2, horizon=horizon,
+                       replan_every=3)
+    img = np.zeros((4, 4, 3), np.float32)
+    acts = [ch.step(img, np.full((dof,), float(t))) for t in range(7)]
+    # replans at t=0 (state 0), t=3 (state 3), t=6 (state 6)
+    assert calls["n"] == 3 and ch.n_inferences == 3
+    expect = [0, 1, 2, 3 + 0, 3 + 1, 3 + 2, 6 + 0]
+    np.testing.assert_allclose(np.stack(acts)[:, 0], expect)
+    ch.reset()
+    assert ch.step(img, np.full((dof,), 5.0))[0] == 5.0
+
+
+def test_action_chunker_temporal_ensemble():
+    from robosimgs_tpu.policy.inference import ActionChunker
+
+    horizon, dof = 4, 1
+
+    def policy_fn(images, states):
+        # chunk born at state s predicts constant s — ensembling at step
+        # t must average over the live chunks' birth states
+        base = states[0, -1]
+        return np.tile(base[None], (horizon, 1))[None]
+
+    ch = ActionChunker(policy_fn, obs_horizon=1, horizon=horizon,
+                       ensemble=True, ensemble_alpha=0.5)
+    img = np.zeros((2, 2, 3), np.float32)
+    a0 = ch.step(img, np.array([0.0]))
+    np.testing.assert_allclose(a0, [0.0])
+    a1 = ch.step(img, np.array([1.0]))
+    # chunks alive at t=1: born at 0 (age 1, w=e^-0.5) and 1 (age 0, w=1)
+    w_old, w_new = np.exp(-0.5), 1.0
+    np.testing.assert_allclose(
+        a1, [(0.0 * w_old + 1.0 * w_new) / (w_old + w_new)], rtol=1e-6)
+    assert ch.n_inferences == 2
+    # after horizon steps the t=0 chunk must have expired (_t is
+    # post-incremented, so the last executed step is _t - 1)
+    for t in range(2, horizon + 1):
+        ch.step(img, np.array([float(t)]))
+    last_t = ch._t - 1
+    assert all(last_t - s < horizon for s, _ in ch._chunks)
+    assert min(s for s, _ in ch._chunks) > 0

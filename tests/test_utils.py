@@ -160,3 +160,83 @@ def test_colmap_roundtrip(tmp_path):
     assert frames[0].image_path.endswith("img_0.png")
     np.testing.assert_allclose(xyz, [[0, 0, 2], [1, 0, 2]], atol=1e-6)
     np.testing.assert_allclose(rgb[0], [1.0, 128 / 255, 0.0], atol=1e-6)
+
+
+def test_undistort_points_roundtrip():
+    from robosimgs_tpu.utils.undistort import (distort_normalized,
+                                               undistort_points)
+
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-0.5, 0.5, (200, 2))
+    dist = np.array([-0.12, 0.03, 0.001, -0.002])
+    xyd = distort_normalized(xy, dist)
+    back = undistort_points(xyd, dist)
+    np.testing.assert_allclose(back, xy, atol=1e-8)
+
+
+def test_undistort_image_recovers_pinhole():
+    """Synthesize a distorted capture of a smooth scene; undistorting it
+    must reproduce the ideal pinhole image in the interior."""
+    from robosimgs_tpu.utils.undistort import (undistort_image,
+                                               undistort_points)
+
+    h, w = 96, 128
+    fx = fy = 110.0
+    cx, cy = w / 2, h / 2
+    dist = np.array([-0.15, 0.04, 0.0, 0.0])
+
+    def scene(x, y):
+        return np.stack([0.5 + 0.4 * np.sin(4 * x) * np.cos(3 * y),
+                         0.5 + 0.3 * np.cos(5 * x + 2 * y),
+                         0.5 + 0.35 * np.sin(2 * x - 3 * y)], -1)
+
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    xn, yn = (u + 0.5 - cx) / fx, (v + 0.5 - cy) / fy
+    ideal = scene(xn, yn).astype(np.float32)
+    # the captured pixel at (u, v) sees the ray whose ideal normalized
+    # coords distort TO (xn, yn)
+    xy_ideal = undistort_points(np.stack([xn, yn], -1), dist)
+    captured = scene(xy_ideal[..., 0], xy_ideal[..., 1]).astype(np.float32)
+
+    out = undistort_image(captured, fx, fy, cx, cy, dist)
+    assert out.shape == ideal.shape and out.dtype == np.float32
+    m = 12  # interior crop: borders are edge-clamped by design
+    err = np.abs(out[m:-m, m:-m] - ideal[m:-m, m:-m]).max()
+    assert err < 0.01, err
+    # zero distortion: exact passthrough
+    same = undistort_image(ideal, fx, fy, cx, cy, np.zeros(4))
+    np.testing.assert_array_equal(same, ideal)
+
+
+def test_colmap_distortion_wired_to_frames(tmp_path):
+    """SIMPLE_RADIAL coefficients land on Frame.distortion and load()
+    applies them."""
+    import struct
+
+    from PIL import Image
+
+    from robosimgs_tpu.utils.colmap import load_colmap
+
+    sparse = tmp_path / "sparse"
+    sparse.mkdir()
+    with open(sparse / "cameras.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", 1))
+        fh.write(struct.pack("<iiQQ", 1, 2, 64, 48))   # SIMPLE_RADIAL
+        fh.write(struct.pack("<4d", 80.0, 32.0, 24.0, -0.2))
+    with open(sparse / "images.bin", "wb") as fh:
+        fh.write(struct.pack("<Q", 1))
+        fh.write(struct.pack("<idddddddi", 1, 1.0, 0, 0, 0, 0, 0, 0, 1))
+        fh.write(b"img.png\x00")
+        fh.write(struct.pack("<Q", 0))
+
+    rng = np.random.default_rng(1)
+    raw = (rng.uniform(0, 1, (48, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(raw).save(tmp_path / "img.png")
+
+    frames, _, _ = load_colmap(str(sparse), images_dir=str(tmp_path))
+    np.testing.assert_allclose(frames[0].distortion, [-0.2, 0, 0, 0])
+    loaded = frames[0].load()
+    assert loaded.shape == (48, 64, 3)
+    # the warp must actually have moved pixels (k1 != 0)
+    assert np.abs(loaded - raw.astype(np.float32) / 255.0).max() > 0.01
