@@ -1,0 +1,222 @@
+"""Stage-5 at scale: diffusion policy trained on RENDERED rollouts.
+
+End-to-end run of the reference pipeline's policy stage on data that
+actually comes from this framework's renderer (the reference trains
+Diffusion Policy on sim renders of the articulated object,
+`/root/reference/README.md:87-92`):
+
+  1. articulate the reference's openbox parts with OUR pipeline
+     (HingeDetector + ArticulationPipeline -> URDF), as the golden
+     parity test does;
+  2. render a dataset of lid-opening episodes (randomized start angle,
+     speed, camera jitter) with the tiled rasterizer + mesh z-buffer
+     compositor — thousands of frames, not a toy grid;
+  3. train DiffusionPolicy on (image, joint-state) windows -> action
+     chunks;
+  4. closed-loop eval: the trained policy drives the lid inside the
+     renderer via run_closed_loop from randomized starts; success =
+     final angle within tolerance of the open target.
+
+Writes dataset/eval stats to <out>/results.json and sample frames.
+
+Run: bash scripts/tpu_run.sh scripts/train_policy_rollouts.py [out_dir]
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_done = {"ok": False, "last": time.time()}
+OPENBOX = "/root/reference/Articulation/openbox_output"
+
+
+def _pet():
+    _done["last"] = time.time()
+
+
+def _watchdog():
+    while not _done["ok"]:
+        time.sleep(30)
+        if time.time() - _done["last"] > 420:
+            print("WATCHDOG: compile wedged — rerun this script", flush=True)
+            os._exit(17)
+
+
+def build_openbox(out_dir):
+    """Articulate the reference's shipped parts with our pipeline."""
+    from robosimgs_tpu.artic.pipeline import ArticulationPipeline, URDFParams
+    from robosimgs_tpu.utils.meshio import load_mesh
+
+    body = load_mesh(os.path.join(OPENBOX, "parts", "body.glb"))
+    lid = load_mesh(os.path.join(OPENBOX, "parts", "lid.glb"))
+    params = URDFParams(object_type="box", lower=0.0, upper=1.57)
+    pipe = ArticulationPipeline(lid, body)
+    meta = pipe.generate(out_dir, params=params, movable_name="lid",
+                        base_name="body")
+    return meta["urdf_path"]
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.time()
+    jax.jit(lambda x: (x * 3).sum())(jnp.ones((32, 32))).block_until_ready()
+    print(f"probe {time.time()-t0:.1f}s backend={jax.default_backend()}",
+          flush=True)
+
+    from robosimgs_tpu.core.camera import Camera
+    from robosimgs_tpu.core.types import Gaussians
+    from robosimgs_tpu.policy.diffusion import DiffusionPolicyConfig
+    from robosimgs_tpu.policy.rollout_eval import run_closed_loop
+    from robosimgs_tpu.policy.trainer import (PolicyTrainConfig,
+                                              PolicyTrainer, RolloutDataset)
+    from robosimgs_tpu.render.config import RenderConfig
+    from robosimgs_tpu.scenegen.rollout import (ArticulatedObject,
+                                                render_rollout)
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/policy_rollouts"
+    os.makedirs(out, exist_ok=True)
+
+    urdf = build_openbox(out)
+    obj = ArticulatedObject.from_urdf(urdf)
+    print(f"articulated openbox -> {urdf} (dof={obj.model.dof})", flush=True)
+    q_open = 1.57
+
+    # background scene: structured gaussian clutter around the object
+    cfg = RenderConfig(tile_capacity=256, max_tiles_per_gaussian=8)
+
+    # frame the camera from the posed object's bounds (parts are
+    # hinge-recentered by the pipeline; scan scale is arbitrary)
+    verts = np.concatenate([np.asarray(v) for v, _ in obj.posed_meshes(
+        np.array([0.8], np.float32))])
+    center = 0.5 * (verts.min(0) + verts.max(0))
+    radius = float(np.linalg.norm(verts - center, axis=1).max())
+    base_eye = center + radius * np.array([2.0, 1.2, 1.4])
+    print(f"object center {center.round(3)} radius {radius:.3f}", flush=True)
+
+    # background: gaussian clutter scaled to the object's neighborhood
+    bg = Gaussians.random(jax.random.PRNGKey(3), 4000, sh_degree=1,
+                          extent=2.5 * radius)
+    bg = bg.replace(means=bg.means + jnp.asarray(center, jnp.float32))
+
+    RES = 64
+    n_eps, ep_len = 48, 32
+    rng = np.random.default_rng(0)
+    images, states, actions, ends = [], [], [], []
+    t_render0 = time.time()
+    count = 0
+    for e in range(n_eps):
+        _pet()
+        q0 = rng.uniform(0.0, 0.5)
+        speed = rng.uniform(0.03, 0.08)
+        eye = base_eye + rng.normal(0, 0.05 * radius, 3)
+        cam = Camera.look_at(eye, center, [0, 0, 1], 55.0, RES, RES)
+        # scripted expert: saturating ramp toward open + small noise
+        qs = [q0]
+        for t in range(ep_len):
+            step = speed + rng.normal(0, 0.004)
+            qs.append(min(q_open, qs[-1] + max(step, 0.0)))
+        traj = np.asarray(qs, np.float32)[:, None]          # (T+1, 1)
+        frames = render_rollout(bg, [obj], traj[:-1], [cam], cfg=cfg,
+                                impl="tiled" if jax.default_backend() == "tpu"
+                                else "reference")
+        frames = np.asarray(frames[:, 0], np.float32)       # (T, H, W, 3)
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        elif frames.max() > 1.5:
+            frames = frames / 255.0
+        images.append(frames)
+        states.append(traj[:-1])
+        actions.append(traj[1:])                            # next target q
+        count += ep_len
+        ends.append(count)
+        if e == 0:
+            from PIL import Image
+            for t in (0, ep_len // 2, ep_len - 1):
+                Image.fromarray(
+                    (np.clip(frames[t], 0, 1) * 255).astype(np.uint8)
+                ).save(os.path.join(out, f"ep0_t{t:02d}.png"))
+        if (e + 1) % 8 == 0:
+            print(f"  rendered episode {e+1}/{n_eps} "
+                  f"({time.time()-t_render0:.1f}s)", flush=True)
+    t_render = time.time() - t_render0
+    ds = RolloutDataset(images=np.concatenate(images),
+                        states=np.concatenate(states).astype(np.float32),
+                        actions=np.concatenate(actions).astype(np.float32),
+                        episode_ends=ends)
+    n_frames = ds.images.shape[0]
+    print(f"dataset: {n_frames} frames ({n_eps} eps x {ep_len}) "
+          f"@{RES}x{RES} in {t_render:.1f}s "
+          f"({n_frames / t_render:.1f} frames/s)", flush=True)
+
+    pc = DiffusionPolicyConfig(action_dim=1, horizon=8, obs_horizon=2,
+                               image_size=(RES, RES), state_dim=1,
+                               embed_dim=64, hidden_dim=128, n_blocks=3,
+                               diffusion_steps=50)
+    tcfg = PolicyTrainConfig(policy=pc, lr=1e-3, warmup_steps=100,
+                             total_steps=3000, batch_size=64,
+                             ema_decay=0.99)
+    tr = PolicyTrainer(tcfg, ds, seed=0)
+    _pet()
+    t_train0 = time.time()
+    for chunk in range(0, tcfg.total_steps, 500):
+        tr.run(steps=min(500, tcfg.total_steps - chunk), log_every=100,
+               progress=True)
+        _pet()
+    t_train = time.time() - t_train0
+    loss0 = tr.history[0]["loss"]
+    loss1 = tr.history[-1]["loss"]
+    sps = tcfg.total_steps / t_train
+    print(f"trained {tcfg.total_steps} steps in {t_train:.1f}s "
+          f"({sps:.1f} steps/s), loss {loss0:.4f} -> {loss1:.4f}",
+          flush=True)
+
+    # closed-loop eval from randomized starts
+    n_eval, steps = 8, 24
+    succ, finals = 0, []
+    t_eval0 = time.time()
+    for i in range(n_eval):
+        _pet()
+        q0 = np.array([rng.uniform(0.0, 0.4)], np.float32)
+        cam = Camera.look_at(base_eye, center, [0, 0, 1], 55.0,
+                             RES, RES)
+        res = run_closed_loop(tr.predict, bg, obj, [cam], steps=steps,
+                              obs_horizon=pc.obs_horizon, actions_per_step=4,
+                              q0=q0, target_q=np.array([q_open]), cfg=cfg)
+        qf = float(res.joint_history[-1, 0])
+        finals.append(qf)
+        ok = abs(qf - q_open) < 0.15
+        succ += ok
+        print(f"  eval {i}: q0={float(q0[0]):.2f} -> q_final={qf:.3f} "
+              f"{'OK' if ok else 'MISS'}", flush=True)
+    t_eval = time.time() - t_eval0
+
+    results = {
+        "dataset": {"episodes": n_eps, "ep_len": ep_len, "res": RES,
+                    "frames": int(n_frames), "render_s": round(t_render, 1),
+                    "frames_per_s": round(n_frames / t_render, 1)},
+        "training": {"steps": tcfg.total_steps, "batch": tcfg.batch_size,
+                     "seconds": round(t_train, 1),
+                     "steps_per_s": round(sps, 2),
+                     "loss_first": round(loss0, 4),
+                     "loss_last": round(loss1, 4)},
+        "closed_loop": {"episodes": n_eval, "steps": steps,
+                        "success": succ, "target": q_open,
+                        "final_angles": [round(f, 3) for f in finals],
+                        "eval_s": round(t_eval, 1)},
+    }
+    with open(os.path.join(out, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results), flush=True)
+    _done["ok"] = True
+
+
+if __name__ == "__main__":
+    main()
