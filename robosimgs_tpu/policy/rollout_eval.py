@@ -44,6 +44,7 @@ def run_closed_loop(
     mesh_cfg: MeshRasterConfig = MeshRasterConfig(),
     image_size: Optional[int] = None,
     camera_index: int = 0,
+    chunker=None,
 ) -> ClosedLoopResult:
     """Receding-horizon closed loop: render obs -> policy -> apply the
     first `actions_per_step` actions as joint targets -> repeat.
@@ -51,6 +52,10 @@ def run_closed_loop(
     policy_fn(images (B=1, obs_horizon, H, W, 3), states (1, obs_horizon,
     dof)) -> (1, horizon, dof) action sequence (PolicyTrainer.predict's
     signature). Joint limits are enforced via model.clamp.
+
+    chunker: optional ActionChunker (policy/inference.py); when given it
+    drives execution (temporal ensembling / receding horizon) instead of
+    the plain first-`actions_per_step` loop, and policy_fn is unused.
     """
     dof = obj.model.dof
     q = np.zeros((dof,), np.float32) if q0 is None else np.asarray(q0, np.float32)
@@ -76,6 +81,18 @@ def run_closed_loop(
 
     observe(q)
     t = 0
+    if chunker is not None:
+        # temporal-ensembling / receding-horizon execution via an
+        # ActionChunker (policy/inference.py) — it owns obs stacking
+        # and the action queue; feed it the newest observation per step
+        chunker.reset()
+        while t < steps:
+            a = chunker.step(obs_imgs[-1], obs_states[-1])
+            q = obj.model.clamp(np.asarray(a, np.float32))
+            q_hist.append(q.copy())
+            actions_out.append(np.asarray(a, np.float32))
+            observe(q)
+            t += 1
     while t < steps:
         # stack the most recent obs_horizon observations (pad with first)
         imgs = obs_imgs[-obs_horizon:]

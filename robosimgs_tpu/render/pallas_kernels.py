@@ -6,12 +6,15 @@ step = one (16x16 tile, capacity chunk) pair; the chunk's gathered
 Gaussians (VMEM capacity Kc) are consumed in 128-wide lane blocks:
 
   * alpha evaluation is pure VPU work on (P, BK) blocks;
-  * the front-to-back transmittance recurrence T *= (1 - alpha) is a
-    LINEAR-space exclusive prefix product along lanes (Hillis-Steele
-    with pltpu.roll) — no log/exp transcendentals in the forward scan
-    (f32 underflow to 0 is exactly the saturated-tile semantics);
-  * color accumulation and the backward reductions are MXU matmuls
-    ((8, BK) x (BK, P) feature blocks against the weight matrix).
+  * the front-to-back transmittance recurrence T *= (1 - alpha) is an
+    exclusive prefix product along lanes computed as ONE MXU matmul in
+    log space (log1p(-alpha) @ upper-tri, then exp) — the carried
+    transmittance stays linear, so f32 underflow to 0 is exactly the
+    saturated-tile semantics;
+  * color accumulation and the backward reductions are MXU matmuls:
+    the backward's six per-Gaussian geometry-gradient rows come from a
+    single dq-weighted pixel-moment matmul (dx = px - mx is separable)
+    instead of per-pixel products + lane reductions.
 
 Chunking (grid = (T, C), chunks innermost, carried VMEM scratch) makes
 `tile_capacity` an HBM-bounded TOTAL while only `tile_chunk` entries
@@ -38,6 +41,7 @@ t % n_tiles_per_image of image 0 (scenegen rollout batching).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,32 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from robosimgs_tpu.render.config import RenderConfig
 
-BK = 128  # gaussians per lane block
-
-
-def _cumsum_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along the last (lane) axis, Hillis-Steele."""
-    n = x.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    s = 1
-    while s < n:
-        shifted = pltpu.roll(x, s, axis=x.ndim - 1)
-        x = x + jnp.where(col >= s, shifted, 0.0)
-        s *= 2
-    return x
-
-
-def _excl_prod_lanes(x: jax.Array) -> jax.Array:
-    """Exclusive prefix product along lanes (identity 1 shifted in)."""
-    n = x.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    y = jnp.where(col >= 1, pltpu.roll(x, 1, axis=x.ndim - 1), 1.0)
-    s = 1
-    while s < n:
-        shifted = pltpu.roll(y, s, axis=y.ndim - 1)
-        y = y * jnp.where(col >= s, shifted, 1.0)
-        s *= 2
-    return y
+# gaussians per lane block; larger blocks amortize loop/early-exit
+# overhead at coarser exit granularity (RSGS_BK env var for tuning)
+BK = int(os.environ.get("RSGS_BK", "128"))
 
 
 def _tile_pixel_coords(t, tiles_x: int, ts: int):
@@ -108,13 +89,22 @@ def _alpha_block(g, px, py, cfg: RenderConfig, dlim=None):
 def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
                 out_ref, tfin_ref, nblk_ref, acc_scr, t_scr, nb_scr,
                 *, cfg: RenderConfig, tiles_x: int, n_tiles_img: int,
-                n_chunks: int, kc: int):
+                n_chunks: int, kc: int, has_dlim: bool = True):
     ts = cfg.tile_size
     t = pl.program_id(0)
     c = pl.program_id(1)
     count = counts_ref[t]
     px, py = _tile_pixel_coords(t % n_tiles_img, tiles_x, ts)
-    dlim = dlim_ref[0]  # (P, 1)
+    dlim = dlim_ref[0] if has_dlim else None  # (P, 1) | compiled out
+
+    # Exclusive prefix PRODUCT along lanes as one MXU matmul in log
+    # space (x @ U = inclusive cumsum; exclusive = incl - x) instead of
+    # a 7-step Hillis-Steele roll chain — the per-block VPU op count is
+    # the kernel bottleneck (docs/ROOFLINE.md). The carried tc stays
+    # LINEAR so f32 underflow to 0 keeps the saturated-tile semantics.
+    row = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 1)
+    U = (row <= col).astype(jnp.float32)
 
     @pl.when(c == 0)
     def _():
@@ -130,14 +120,18 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
         g = geom_ref[0, :, pl.ds(off, BK)]
         alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
         om = 1.0 - alpha
-        ep = _excl_prod_lanes(om)
-        Tk = tc * ep                                  # (P, BK)
+        l = jnp.log1p(-alpha)
+        incl = jax.lax.dot_general(
+            l, U, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        Tk = tc * jnp.exp(incl - l)                   # (P, BK)
         w = alpha * Tk * (Tk * om >= cfg.transmittance_min)
         f = feat_ref[0, :, pl.ds(off, BK)]
         acc = acc + jax.lax.dot_general(
             f, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        tc = tc * (ep[:, BK - 1:BK] * om[:, BK - 1:BK])
+        tc = tc * jnp.exp(incl[:, BK - 1:BK])
         return i + 1, acc, tc
 
     def cond(carry):
@@ -160,15 +154,43 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
 def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
                 tfin_ref, dgeom_ref, dfeat_ref, suf_scr, lt_scr,
                 *, cfg: RenderConfig, tiles_x: int, n_tiles_img: int,
-                n_chunks: int, kc: int):
+                n_chunks: int, kc: int, has_dlim: bool = True):
     ts = cfg.tile_size
     t = pl.program_id(0)
     cidx = pl.program_id(1)          # iteration order (0 = LAST chunk)
     c = n_chunks - 1 - cidx          # actual chunk index, descending
     nblk = nblk_ref[t]
     px, py = _tile_pixel_coords(t % n_tiles_img, tiles_x, ts)
-    dlim = dlim_ref[0]  # (P, 1)
+    dlim = dlim_ref[0] if has_dlim else None  # (P, 1) | compiled out
     gout = gout_ref[0]  # (8, P)
+
+    # Loop-invariant MXU operands (hoisted; the per-block VPU work is
+    # the bottleneck — see docs/ROOFLINE.md step-cost decomposition):
+    #  * U: upper-triangular ones — x @ U is an inclusive lane cumsum in
+    #    ONE f32 matmul instead of a 7-step Hillis-Steele roll chain;
+    #  * Cm: dq-weighted pixel-moment matrix. dx = px - mx is separable,
+    #    so every geometry gradient row is a linear combination of
+    #    sum_p dq * [1, px, py, px^2, py^2, px*py] — one (8,P)x(P,BK)
+    #    matmul replaces six (P,BK) per-pixel products + reductions.
+    #    TILE-LOCAL coords (px - ox in [0, ts)) keep the moments small
+    #    for f32 accuracy.
+    row = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 1)
+    U = (row <= col).astype(jnp.float32)
+    timg = t % n_tiles_img
+    ox = ((timg % tiles_x) * ts).astype(jnp.float32)
+    oy = ((timg // tiles_x) * ts).astype(jnp.float32)
+    pxl, pyl = px - ox, py - oy      # (P, 1) tile-local
+    ones = jnp.ones_like(pxl)
+    Cm = jnp.concatenate([ones, pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl,
+                          jnp.zeros_like(pxl), jnp.zeros_like(pxl)],
+                         axis=1)     # (P, 8); rows 6-7 pad to lane width
+
+    def cumsum_mxu(x):
+        return jax.lax.dot_general(
+            x, U, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(cidx == 0)
     def _():
@@ -193,7 +215,7 @@ def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
         ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
         om = 1.0 - alpha
         l = jnp.log1p(-alpha)
-        incl = _cumsum_lanes(l)
+        incl = cumsum_mxu(l)
         lin = lte - incl[:, BK - 1:BK]               # logT entering block
         Tk = jnp.exp(lin + (incl - l))               # (P, BK)
         m = (Tk * om >= cfg.transmittance_min)
@@ -203,35 +225,50 @@ def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
             gout, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)     # (P, BK)
         gw = gamma * w
-        incl_gw = _cumsum_lanes(gw)
+        incl_gw = cumsum_mxu(gw)
         suffix = suf + (incl_gw[:, BK - 1:BK] - incl_gw)   # sum over j > k
         dalpha = jnp.where(m, gamma * Tk, 0.0) - suffix / om
         dalpha = jnp.where(keep, dalpha, 0.0)
         unclamped = raw < cfg.alpha_clamp
         dq = jnp.where(unclamped, -alpha * dalpha, 0.0)
-        dop = jnp.where(unclamped, eq * dalpha, 0.0)
 
-        dmx_px = -dq * (ca * dx + cb * dy)           # per-pixel (P, BK)
-        dmy_px = -dq * (cc * dy + cb * dx)
-        dmx = jnp.sum(dmx_px, axis=0, keepdims=True)
-        dmy = jnp.sum(dmy_px, axis=0, keepdims=True)
-        dca = jnp.sum(dq * 0.5 * dx * dx, axis=0, keepdims=True)
-        dcb = jnp.sum(dq * dx * dy, axis=0, keepdims=True)
-        dcc = jnp.sum(dq * 0.5 * dy * dy, axis=0, keepdims=True)
-        dop_s = jnp.sum(dop, axis=0, keepdims=True)
+        # geometry grads from dq-weighted pixel moments (one matmul):
+        mom = jax.lax.dot_general(
+            Cm, dq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # (8, BK)
+        s0, sx, sy = mom[0:1], mom[1:2], mom[2:3]
+        sxx, syy, sxy = mom[3:4], mom[4:5], mom[5:6]
+        mxl, myl = g[0:1, :] - ox, g[1:2, :] - oy    # tile-local means
+        cx = sx - mxl * s0                           # sum dq * dx
+        cy = sy - myl * s0                           # sum dq * dy
+        dmx = -(ca * cx + cb * cy)
+        dmy = -(cc * cy + cb * cx)
+        dca = 0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
+        dcb = sxy - mxl * sy - myl * sx + mxl * myl * s0
+        dcc = 0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
+        # dq = -opacity * dop elementwise (alpha = op*eq when unclamped,
+        # both zeroed together by keep/clamp) => sum dop = -s0 / op
+        op = g[5:6, :]
+        dop_s = -s0 / jnp.maximum(op, 1e-30)
         zeros = jnp.zeros_like(dmx)
         # absgrad (gsplat absgrad semantics): per-pixel |screen grad|
         # summed BEFORE sign cancellation, emitted as the cotangent of
-        # the abs_probe columns (geom row 7 = x, feat row 7 = y)
-        absx = (jnp.sum(jnp.abs(dmx_px), axis=0, keepdims=True)
-                if cfg.absgrad else zeros)
+        # the abs_probe columns (geom row 7 = x, feat row 7 = y).
+        # abs breaks moment separability — per-pixel path, absgrad only.
+        if cfg.absgrad:
+            absx = jnp.sum(jnp.abs(-dq * (ca * dx + cb * dy)),
+                           axis=0, keepdims=True)
+        else:
+            absx = zeros
         dgeom_ref[0, :, pl.ds(off, BK)] = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop_s, zeros, absx], axis=0)
         dfeat = jax.lax.dot_general(
             gout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)     # (8, BK)
         if cfg.absgrad:
-            absy = jnp.sum(jnp.abs(dmy_px), axis=0, keepdims=True)
+            absy = jnp.sum(jnp.abs(-dq * (cc * dy + cb * dx)),
+                           axis=0, keepdims=True)
             dfeat = jnp.concatenate([dfeat[:7], absy], axis=0)
         dfeat_ref[0, :, pl.ds(off, BK)] = dfeat
         return suf + incl_gw[:, BK - 1:BK], lin
@@ -256,10 +293,11 @@ def _chunking(cfg: RenderConfig, CK: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret",
-                                             "n_tiles_per_image"))
+                                             "n_tiles_per_image",
+                                             "has_dlim"))
 def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
                          cfg: RenderConfig, interpret: bool | None = None,
-                         n_tiles_per_image: int = 0):
+                         n_tiles_per_image: int = 0, has_dlim: bool = True):
     """(T,8,K) geom/feat + (T,) counts + (T,P,1) depth limits ->
     (out (T,8,P), t_final (T,P,1), n_blocks (T,1) int32)."""
     T, _, CK = geom.shape
@@ -269,7 +307,8 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
     if interpret is None:
         interpret = _interpret()
     kernel = functools.partial(_fwd_kernel, cfg=cfg, tiles_x=tiles_x,
-                               n_tiles_img=n_img, n_chunks=C, kc=kc)
+                               n_tiles_img=n_img, n_chunks=C, kc=kc,
+                               has_dlim=has_dlim)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T, C),
@@ -302,11 +341,12 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "cfg", "interpret",
-                                             "n_tiles_per_image"))
+                                             "n_tiles_per_image",
+                                             "has_dlim"))
 def composite_bwd_pallas(geom, feat, counts, dlim, gout, tfin, nblk, *,
                          tiles_x: int, cfg: RenderConfig,
                          interpret: bool | None = None,
-                         n_tiles_per_image: int = 0):
+                         n_tiles_per_image: int = 0, has_dlim: bool = True):
     """Backward (single back-to-front sweep): returns (dgeom, dfeat),
     each (T, 8, K). tfin/nblk are the forward's carried outputs."""
     T, _, CK = geom.shape
@@ -316,7 +356,8 @@ def composite_bwd_pallas(geom, feat, counts, dlim, gout, tfin, nblk, *,
     if interpret is None:
         interpret = _interpret()
     kernel = functools.partial(_bwd_kernel, cfg=cfg, tiles_x=tiles_x,
-                               n_tiles_img=n_img, n_chunks=C, kc=kc)
+                               n_tiles_img=n_img, n_chunks=C, kc=kc,
+                               has_dlim=has_dlim)
     rev = C - 1  # chunk iteration is reversed: cidx 0 touches chunk C-1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -31,18 +31,23 @@ from robosimgs_tpu.render.tiles import num_tiles
 
 @functools.lru_cache(maxsize=None)
 def _make_compositor(tiles_x: int, cfg: RenderConfig, interpret: bool,
-                     n_tiles_per_image: int = 0):
+                     n_tiles_per_image: int = 0, has_dlim: bool = True):
+    # has_dlim=False compiles the depth-limit occlusion test out of both
+    # kernels entirely (training composites no mesh; the dlim operand is
+    # still passed so the call signature stays uniform)
     @jax.custom_vjp
     def comp(geom, feat, counts, dlim):
         out, _, _ = composite_fwd_pallas(
             geom, feat, counts, dlim, tiles_x=tiles_x, cfg=cfg,
-            interpret=interpret, n_tiles_per_image=n_tiles_per_image)
+            interpret=interpret, n_tiles_per_image=n_tiles_per_image,
+            has_dlim=has_dlim)
         return out
 
     def fwd(geom, feat, counts, dlim):
         out, tfin, nblk = composite_fwd_pallas(
             geom, feat, counts, dlim, tiles_x=tiles_x, cfg=cfg,
-            interpret=interpret, n_tiles_per_image=n_tiles_per_image)
+            interpret=interpret, n_tiles_per_image=n_tiles_per_image,
+            has_dlim=has_dlim)
         return out, (geom, feat, counts, dlim, tfin, nblk)
 
     def bwd(res, gout):
@@ -50,7 +55,7 @@ def _make_compositor(tiles_x: int, cfg: RenderConfig, interpret: bool,
         dgeom, dfeat = composite_bwd_pallas(
             geom, feat, counts, dlim, gout, tfin, nblk.reshape(-1),
             tiles_x=tiles_x, cfg=cfg, interpret=interpret,
-            n_tiles_per_image=n_tiles_per_image)
+            n_tiles_per_image=n_tiles_per_image, has_dlim=has_dlim)
         return dgeom, dfeat, None, None
 
     comp.defvjp(fwd, bwd)
@@ -81,9 +86,8 @@ def composite_tiled(
     geom, feat, counts, stats = bin_and_gather_packed(proj, width, height, cfg)
     counts = jax.lax.stop_gradient(counts)
 
-    P = cfg.tile_size * cfg.tile_size
     if depth_limit is None:
-        dlim = jnp.full((geom.shape[0], P), jnp.inf, jnp.float32)
+        dlim = None   # compiles the occlusion test out of the kernels
     else:
         dlim = tile_image(jax.lax.stop_gradient(depth_limit), tiles_x, tiles_y,
                           cfg.tile_size, pad_value=jnp.inf)
@@ -115,12 +119,13 @@ def composite_from_tiles(
         background = jnp.zeros((3,), jnp.float32)
     tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
     P = cfg.tile_size * cfg.tile_size
+    has_dlim = dlim is not None
     if dlim is None:
         dlim = jnp.full((geom.shape[0], P), jnp.inf, jnp.float32)
 
     if compositor == "pallas":
         interpret = jax.default_backend() != "tpu"
-        comp = _make_compositor(tiles_x, cfg, interpret)
+        comp = _make_compositor(tiles_x, cfg, interpret, has_dlim=has_dlim)
         out_tiles = comp(geom, feat, counts, dlim[..., None])
     elif compositor == "jnp":
         out_tiles = composite_gathered(geom, feat, counts, tiles_x, cfg, dlim)
@@ -174,7 +179,8 @@ def composite_tiled_batch(
 
     if compositor == "pallas":
         interpret = jax.default_backend() != "tpu"
-        comp = _make_compositor(tiles_x, cfg, interpret, n_tiles_per_image=T)
+        comp = _make_compositor(tiles_x, cfg, interpret, n_tiles_per_image=T,
+                                has_dlim=depth_limit is not None)
         out_tiles = comp(geom_f, feat_f, counts_f, dlim[..., None])
     elif compositor == "jnp":
         t_idx = jnp.arange(n_cam * T, dtype=jnp.int32) % T

@@ -94,7 +94,7 @@ def main():
 
     # frame the camera from the posed object's bounds (parts are
     # hinge-recentered by the pipeline; scan scale is arbitrary)
-    verts = np.concatenate([np.asarray(v) for v, _ in obj.posed_meshes(
+    verts = np.concatenate([np.asarray(v) for v, _, _ in obj.posed_meshes(
         np.array([0.8], np.float32))])
     center = 0.5 * (verts.min(0) + verts.max(0))
     radius = float(np.linalg.norm(verts - center, axis=1).max())
@@ -107,7 +107,7 @@ def main():
     bg = bg.replace(means=bg.means + jnp.asarray(center, jnp.float32))
 
     RES = 64
-    n_eps, ep_len = 48, 32
+    n_eps, ep_len = 64, 40
     rng = np.random.default_rng(0)
     images, states, actions, ends = [], [], [], []
     t_render0 = time.time()
@@ -161,8 +161,8 @@ def main():
                                embed_dim=64, hidden_dim=128, n_blocks=3,
                                diffusion_steps=50)
     tcfg = PolicyTrainConfig(policy=pc, lr=1e-3, warmup_steps=100,
-                             total_steps=3000, batch_size=64,
-                             ema_decay=0.99)
+                             total_steps=8000, batch_size=64,
+                             ema_decay=0.995)
     tr = PolicyTrainer(tcfg, ds, seed=0)
     _pet()
     t_train0 = time.time()
@@ -178,24 +178,43 @@ def main():
           f"({sps:.1f} steps/s), loss {loss0:.4f} -> {loss1:.4f}",
           flush=True)
 
-    # closed-loop eval from randomized starts
-    n_eval, steps = 8, 24
-    succ, finals = 0, []
+    # save the trained policy (flax bytes + normalization stats)
+    import flax.serialization
+    with open(os.path.join(out, "policy.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(tr.ema_params))
+    np.savez(os.path.join(out, "policy_norm.npz"), **tr.norm)
+
+    # closed-loop eval from randomized starts: receding-horizon AND
+    # ACT temporal-ensembling execution (policy/inference.ActionChunker),
+    # full 50-step DDPM sampling at eval time
+    from robosimgs_tpu.policy.inference import ActionChunker
+    policy50 = lambda im, s: tr.predict(im, s, n_steps=50)
+    n_eval, steps = 8, 32
+    modes = {}
     t_eval0 = time.time()
-    for i in range(n_eval):
-        _pet()
-        q0 = np.array([rng.uniform(0.0, 0.4)], np.float32)
-        cam = Camera.look_at(base_eye, center, [0, 0, 1], 55.0,
-                             RES, RES)
-        res = run_closed_loop(tr.predict, bg, obj, [cam], steps=steps,
-                              obs_horizon=pc.obs_horizon, actions_per_step=4,
-                              q0=q0, target_q=np.array([q_open]), cfg=cfg)
-        qf = float(res.joint_history[-1, 0])
-        finals.append(qf)
-        ok = abs(qf - q_open) < 0.15
-        succ += ok
-        print(f"  eval {i}: q0={float(q0[0]):.2f} -> q_final={qf:.3f} "
-              f"{'OK' if ok else 'MISS'}", flush=True)
+    for mode in ("receding", "ensemble"):
+        succ, finals = 0, []
+        for i in range(n_eval):
+            _pet()
+            q0 = np.array([rng.uniform(0.0, 0.4)], np.float32)
+            cam = Camera.look_at(base_eye, center, [0, 0, 1], 55.0,
+                                 RES, RES)
+            chunker = (ActionChunker(policy50, pc.obs_horizon, pc.horizon,
+                                     ensemble=True, ensemble_alpha=0.3)
+                       if mode == "ensemble" else None)
+            res = run_closed_loop(policy50, bg, obj, [cam], steps=steps,
+                                  obs_horizon=pc.obs_horizon,
+                                  actions_per_step=4, q0=q0,
+                                  target_q=np.array([q_open]), cfg=cfg,
+                                  chunker=chunker)
+            qf = float(res.joint_history[-1, 0])
+            finals.append(qf)
+            ok = abs(qf - q_open) < 0.15
+            succ += ok
+            print(f"  eval[{mode}] {i}: q0={float(q0[0]):.2f} -> "
+                  f"q_final={qf:.3f} {'OK' if ok else 'MISS'}", flush=True)
+        modes[mode] = {"success": succ,
+                       "final_angles": [round(f, 3) for f in finals]}
     t_eval = time.time() - t_eval0
 
     results = {
@@ -208,8 +227,7 @@ def main():
                      "loss_first": round(loss0, 4),
                      "loss_last": round(loss1, 4)},
         "closed_loop": {"episodes": n_eval, "steps": steps,
-                        "success": succ, "target": q_open,
-                        "final_angles": [round(f, 3) for f in finals],
+                        "target": q_open, "modes": modes,
                         "eval_s": round(t_eval, 1)},
     }
     with open(os.path.join(out, "results.json"), "w") as f:

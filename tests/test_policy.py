@@ -150,6 +150,28 @@ def test_closed_loop_eval(tmp_path):
     assert res.frames.shape[0] == 6
     assert res.final_error is not None
 
+    # chunker-driven execution (temporal ensembling) reaches the target
+    # through the same renderer loop
+    from robosimgs_tpu.policy.inference import ActionChunker
+
+    H = 8
+
+    def chunk_policy(images, states):
+        q = states[0, -1]
+        ks = 0.2 * (1 + np.arange(H, dtype=np.float32))[:, None]
+        return (q[None] + ks)[None]
+
+    ch = ActionChunker(chunk_policy, obs_horizon=2, horizon=H,
+                       ensemble=True, ensemble_alpha=0.3)
+    res2 = run_closed_loop(chunk_policy, bg, obj, cams, steps=6,
+                           obs_horizon=2, actions_per_step=2,
+                           target_q=np.array([1.2]),
+                           cfg=RenderConfig(tile_capacity=128), chunker=ch)
+    assert res2.joint_history.shape == (7, 1)
+    assert (np.diff(res2.joint_history[:, 0]) >= -1e-6).all()
+    assert ch.n_inferences == 6
+    assert res2.final_error < 1e-5
+
 
 def test_action_chunker_receding_horizon():
     from robosimgs_tpu.policy.inference import ActionChunker
