@@ -229,7 +229,9 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     bbox_in = jnp.stack([
         sg(proj.means2d[:, 0]), sg(proj.means2d[:, 1]),
         jnp.where(proj.valid, proj.radii.astype(jnp.float32), 0.0),
-    ], axis=1)  # (N, 3)
+        sg(proj.conics[:, 0]), sg(proj.conics[:, 1]), sg(proj.conics[:, 2]),
+        jnp.where(proj.valid, sg(proj.opacities), 0.0),
+    ], axis=1)  # (N, 7); cols 3..6 feed the exact-intersection cull
 
     # Global front-to-back permutation. Only the narrow bbox inputs are
     # permuted up front; the wide 16-column payload is gathered ONCE at
@@ -255,6 +257,44 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     valid_e = (e < cover[:, None]) & valid_s[:, None]
     row, col = _divmod_small(e, bw_safe)
     tid = (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col)
+
+    if cfg.exact_tile_cull:
+        # Exact ellipse-tile intersection: drop bbox tiles where
+        # min_q over the tile's pixel-center rect exceeds
+        # log(op / alpha_min) — there alpha < alpha_min at every pixel,
+        # so the kernels' keep-mask zeroes the entry anyway (values AND
+        # grads); culling it here is lossless. The rect min of the PSD
+        # quadratic q = .5*ca*u^2 + cb*u*v + .5*cc*v^2 is 0 if the mean
+        # is inside, else the min over the four clamped edge restrictions.
+        ts_f = float(cfg.tile_size)
+        ca = bbox_s[:, 3:4]
+        cb = bbox_s[:, 4:5]
+        cc = bbox_s[:, 5:6]
+        op = bbox_s[:, 6:7]
+        u0 = (tx0[:, None] + col).astype(jnp.float32) * ts_f - m2d_s[:, 0:1]
+        v0 = (ty0[:, None] + row).astype(jnp.float32) * ts_f - m2d_s[:, 1:2]
+        u1 = u0 + (ts_f - 1.0)
+        v1 = v0 + (ts_f - 1.0)
+        ca_s = jnp.maximum(ca, 1e-12)
+        cc_s = jnp.maximum(cc, 1e-12)
+
+        def edge_u(uf):  # u fixed, v free in [v0, v1]
+            vs = jnp.clip(-cb * uf / cc_s, v0, v1)
+            return (0.5 * ca) * uf * uf + cb * uf * vs + (0.5 * cc) * vs * vs
+
+        def edge_v(vf):  # v fixed, u free in [u0, u1]
+            us = jnp.clip(-cb * vf / ca_s, u0, u1)
+            return (0.5 * ca) * us * us + cb * us * vf + (0.5 * cc) * vf * vf
+
+        qmin = jnp.minimum(jnp.minimum(edge_u(u0), edge_u(u1)),
+                           jnp.minimum(edge_v(v0), edge_v(v1)))
+        inside = (u0 <= 0.0) & (0.0 <= u1) & (v0 <= 0.0) & (0.0 <= v1)
+        qmin = jnp.where(inside, 0.0, qmin)
+        qcut = jnp.log(jnp.maximum(op, 1e-12) / cfg.alpha_min)
+        # cull only with a definitely-PSD conic (conservative otherwise)
+        psd = (ca > 0.0) & (cc > 0.0)
+        valid_e = valid_e & (~psd | (qmin <= qcut))
+
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)   # sentinel sorts last
 
     # entries are already depth-ordered (rows ascend in rank), so a
@@ -314,8 +354,7 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
         truncated_gaussians=jnp.sum((cover > M) & valid_s).astype(jnp.int32),
         overflowed_tiles=jnp.sum(full_counts > K).astype(jnp.int32),
         max_tile_count=jnp.max(full_counts).astype(jnp.int32),
-        total_pairs=jnp.sum(jnp.where(valid_s, jnp.minimum(cover, M), 0)
-                            ).astype(jnp.int32),
+        total_pairs=jnp.sum(valid_e).astype(jnp.int32),
     )
     if return_sel:
         return geom, feat, counts, stats, sel

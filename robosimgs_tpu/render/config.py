@@ -30,6 +30,13 @@ import dataclasses
 class RenderConfig:
     tile_size: int = 16
     radius_factor: float = 3.0
+    # exact ellipse-tile intersection culling in the packed binning
+    # path: a bbox tile where min over the tile's pixel rect of the
+    # quadratic form q exceeds log(opacity/alpha_min) has alpha <
+    # alpha_min at EVERY pixel — the kernels' keep-mask zeroes such
+    # entries (values and grads), so dropping them at binning time is
+    # lossless and shrinks per-tile counts (fewer kernel blocks).
+    exact_tile_cull: bool = True
     alpha_clamp: float = 0.99
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1.0e-4

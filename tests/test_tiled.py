@@ -258,3 +258,53 @@ def test_absgrad_matches_per_pixel_jacobian():
         composite_tiled(project(g, cam, cfg, means2d_offset=off),
                         W, H, cfg)["rgb"] * wts))(jnp.zeros((n, 2)))
     assert np.all(np.asarray(absgrad) >= np.abs(np.asarray(signed)) - 1e-5)
+
+
+def test_exact_tile_cull_lossless():
+    """Exact ellipse-tile intersection culling removes bbox corner tiles
+    where alpha < alpha_min everywhere — entries the kernel keep-mask
+    zeroes anyway, so images and gradients must match the un-culled
+    binning to f32 reordering noise."""
+    import dataclasses
+
+    from robosimgs_tpu.render.binning import bin_and_gather_packed
+    from robosimgs_tpu.render.reference import composite_reference
+
+    cam = Camera.look_at([3.5, 0.5, 1.0], [0, 0, 0], [0, 0, 1], 55.0,
+                         128, 96)
+    g = Gaussians.random(jax.random.PRNGKey(3), 800, sh_degree=2)
+    cfg_on = RenderConfig(tile_capacity=512, exact_tile_cull=True)
+    cfg_off = dataclasses.replace(cfg_on, exact_tile_cull=False)
+    proj = project(g, cam, cfg_on)
+
+    *_, st_on = bin_and_gather_packed(proj, 128, 96, cfg_on)
+    *_, st_off = bin_and_gather_packed(proj, 128, 96, cfg_off)
+    assert int(st_on.total_pairs) < int(st_off.total_pairs), \
+        "cull removed nothing — test scene degenerate"
+    assert int(st_on.overflowed_tiles) == 0
+
+    out_on = composite_tiled(proj, 128, 96, cfg_on, compositor="pallas")
+    out_off = composite_tiled(proj, 128, 96, cfg_off, compositor="pallas")
+    ref = composite_reference(proj, 128, 96, cfg_on)
+    np.testing.assert_allclose(np.asarray(out_on["rgb"]),
+                               np.asarray(out_off["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_on["rgb"]),
+                               np.asarray(ref["rgb"]), atol=1e-6)
+
+    def loss(means, cfg):
+        o = composite_tiled(project(g.replace(means=means), cam, cfg),
+                            128, 96, cfg, compositor="pallas")
+        return jnp.sum(o["rgb"] ** 2)
+
+    g_on = jax.grad(loss)(g.means, cfg_on)
+    g_off = jax.grad(loss)(g.means, cfg_off)
+    scale = float(jnp.abs(g_off).max())
+    assert float(jnp.abs(g_on - g_off).max()) <= 1e-4 * max(scale, 1.0)
+
+    def loss_ref(means):
+        o = composite_reference(project(g.replace(means=means), cam,
+                                        cfg_on), 128, 96, cfg_on)
+        return jnp.sum(o["rgb"] ** 2)
+
+    g_ref = jax.grad(loss_ref)(g.means)
+    assert float(jnp.abs(g_on - g_ref).max()) <= 1e-4 * max(scale, 1.0)
