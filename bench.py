@@ -152,6 +152,12 @@ def main():
     print(f"fwd-only render: {fdt*1000:.2f} ms ({1/fdt:.1f} fps, "
           f"{N_GAUSSIANS/fdt/1e6:.2f}M gaussians/s)", file=err)
 
+    # staged-config secondaries (BASELINE.md configs 3/4), env-gated so
+    # the driver's default run stays fast; JSON lines go to STDERR (the
+    # stdout contract is ONE line)
+    if os.environ.get("RSGS_BENCH_STAGED"):
+        _staged(err, _pet)
+
     _last["done"] = True
     vs = value / BENCH_R1 if BENCH_R1 else 1.0
     print(json.dumps({
@@ -160,6 +166,85 @@ def main():
         "unit": "gaussians/s",
         "vs_baseline": round(vs, 4),
     }))
+
+
+def _staged(err, pet):
+    """Secondary staged configs: 1M-capacity train step @512^2 and the
+    multi-camera 640x480 rollout frame rate (trend tracking; NEXT.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robosimgs_tpu.core.camera import Camera
+    from robosimgs_tpu.core.types import Gaussians
+    from robosimgs_tpu.render.config import RenderConfig
+    from robosimgs_tpu.render.project import project
+    from robosimgs_tpu.render.tiled import composite_tiled
+    from robosimgs_tpu.train.losses import photometric_loss
+    from robosimgs_tpu.train.optim import float_params, make_optimizer
+
+    # config 3: 1M Gaussians, 512x512 full train step
+    res = 512
+    n1m = 1_000_000 + (N_GAUSSIANS % 1000)   # inherit program-key perturb
+    cfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
+                       max_tiles_per_gaussian=8)
+    cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0,
+                         res, res)
+    g = Gaussians.random(jax.random.PRNGKey(1), n1m, sh_degree=3,
+                         extent=1.5)
+    target = jnp.zeros((res, res, 3))
+    optimizer = make_optimizer()
+    params = float_params(g)
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = composite_tiled(project(g.replace(**p), cam, cfg),
+                                  res, res, cfg)
+            return photometric_loss(out["rgb"], target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+    params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    pet()
+    t0 = time.time()
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / 10
+    print(json.dumps({"metric": "train_step_ms_1M_512", "value":
+                      round(dt * 1000, 2), "unit": "ms"}), file=err)
+    del params, opt_state, g
+
+    # config 4: 4-camera 640x480 rollout render @200k
+    n200 = 200_000 + (N_GAUSSIANS % 1000)
+    g2 = Gaussians.random(jax.random.PRNGKey(2), n200, sh_degree=2,
+                          extent=1.5)
+    cams = [Camera.look_at([3.0 + 0.1 * i, 0.4, 1.0], [0, 0, 0],
+                           [0, 0, 1], 60.0, 640, 480) for i in range(4)]
+    rcfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
+                        max_tiles_per_gaussian=12)
+
+    def frame(p):
+        return [composite_tiled(project(g2.replace(means=p), c, rcfg),
+                                640, 480, rcfg)["rgb"] for c in cams]
+
+    frame = jax.jit(frame)
+    r = frame(g2.means)
+    jax.block_until_ready(r)
+    pet()
+    t0 = time.time()
+    for _ in range(10):
+        r = frame(g2.means)
+    jax.block_until_ready(r)
+    fdt = (time.time() - t0) / 10
+    print(json.dumps({"metric": "rollout_frame_ms_4cam_640x480_200k",
+                      "value": round(fdt * 1000, 2), "unit": "ms"}),
+          file=err)
 
 
 if __name__ == "__main__":
