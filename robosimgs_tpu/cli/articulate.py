@@ -29,6 +29,12 @@ def build_parser():
                    help="skip view selection (front/back/left/right/top/bottom)")
     p.add_argument("--resolution", type=int, default=800)
     p.add_argument("--mllm", default="none", choices=["none", "openai"])
+    p.add_argument("--mask-backend", default="geometric",
+                   choices=["geometric", "masknet"],
+                   help="part split: geometric 3D nearest-seed split, or "
+                        "the learned point-prompted mask model "
+                        "(artic/masknet; train weights with "
+                        "scripts/train_masknet.py)")
     p.add_argument("--mllm-model", default=os.environ.get(
         "OPENAI_GPT_MODEL", "gpt-4-turbo"))
     p.add_argument("--skip-segmentation", action="store_true",
@@ -86,23 +92,41 @@ def main(argv=None):
         camera = views[view]["camera"]
         prompts = seg.name_parts(views, view, args.part_names)
 
-        # Geometric 3D split by nearest seed point — the offline default
-        # (plug a SAM-style MaskGenerator into Segmenter for mask-driven
-        # splits). Mask artifacts are derived from the split for parity
-        # with the reference's mask_{COLOR}_{view}.npy contract.
-        from robosimgs_tpu.artic.segmentation import (mask_from_part,
-                                                      split_mesh_by_points)
         from robosimgs_tpu.utils.meshio import save_mesh
-        seeds = np.asarray([s["position"] for s in selected], np.float32)
-        part_a, part_b, _ = split_mesh_by_points(mesh, seeds)
         colors = list(prompts)
-        parts = {colors[0]: part_a, colors[1]: part_b}
+        if args.mask_backend == "masknet":
+            # learned mask-driven split (the reference's SAM flow,
+            # interactive_segmenter.py:140-165): prompt the mask model
+            # at the first (movable) seed projected into the chosen
+            # view, then split faces by the selected mask
+            from robosimgs_tpu.artic.masknet import MaskNetGenerator
+            seg.mask_generator = MaskNetGenerator()
+            p0 = np.asarray(selected[0]["position"], np.float32)
+            w2c = np.asarray(camera.w2c)
+            q = w2c[:3, :3] @ p0 + w2c[:3, 3]
+            u = float(camera.fx) * q[0] / q[2] + float(camera.cx) - 0.5
+            v = float(camera.fy) * q[1] / q[2] + float(camera.cy) - 0.5
+            mask = seg.segment_part(views[view]["clean"],
+                                    prompts[colors[0]], marker_uv=(u, v))
+            parts = seg.split_and_export(mask, camera, prompts, view)
+        else:
+            # Geometric 3D split by nearest seed point — the offline
+            # default. Mask artifacts are derived from the split for
+            # parity with the reference's mask_{COLOR}_{view}.npy
+            # contract.
+            from robosimgs_tpu.artic.segmentation import (
+                mask_from_part, split_mesh_by_points)
+            seeds = np.asarray([s["position"] for s in selected],
+                               np.float32)
+            part_a, part_b, _ = split_mesh_by_points(mesh, seeds)
+            parts = {colors[0]: part_a, colors[1]: part_b}
+            for color, part in parts.items():
+                np.save(os.path.join(cfg.segmentation_dir,
+                                     f"mask_{color}_{view}.npy"),
+                        mask_from_part(part, camera))
+                save_mesh(os.path.join(cfg.segmentation_dir,
+                                       f"part_{color}.glb"), part)
         for color, part in parts.items():
-            np.save(os.path.join(cfg.segmentation_dir,
-                                 f"mask_{color}_{view}.npy"),
-                    mask_from_part(part, camera))
-            save_mesh(os.path.join(cfg.segmentation_dir,
-                                   f"part_{color}.glb"), part)
             name = prompts[color].replace(" ", "_")
             save_mesh(os.path.join(cfg.parts_dir, f"{name}.glb"), part)
 
