@@ -41,28 +41,42 @@ def recommend_capacities(
     tile_capacity is rounded to a multiple of 128 (the Pallas lane-block
     size); max_tiles_per_gaussian to a multiple of 4.
     """
-    max_cover = 0
+    from robosimgs_tpu.render.binning import per_gaussian_cover
+
+    max_cover = 0      # surviving tiles (post-cull) — sizes the M sort
+    max_bbox = 0       # bbox tiles — sizes the enumeration cap
     max_count = 0
     for cam in cameras:
         proj = project(gaussians, cam, base)
         tiles_x, tiles_y = num_tiles(cam.width, cam.height, base.tile_size)
         tx0, ty0, tx1, ty1 = tile_bbox(proj.means2d, proj.radii,
                                        tiles_x, tiles_y, base.tile_size)
-        cover = jnp.where(proj.valid,
-                          (tx1 - tx0 + 1).clip(0) * (ty1 - ty0 + 1).clip(0), 0)
+        bbox_cover = jnp.where(
+            proj.valid,
+            (tx1 - tx0 + 1).clip(0) * (ty1 - ty0 + 1).clip(0), 0)
+        max_bbox = max(max_bbox, int(jnp.max(bbox_cover)))
+        # tiles the gaussian ACTUALLY hits (exact cull removes bbox
+        # corner tiles), enumerated over the full bbox
+        cover = per_gaussian_cover(proj, cam.width, cam.height, base,
+                                   max_tiles=max(max_bbox, 1))
         max_cover = max(max_cover, int(jnp.max(cover)))
         # probe with generous caps to read true per-tile demand
         probe = dataclasses.replace(
             base,
-            max_tiles_per_gaussian=_round_up(max(max_cover, 1), 4),
+            max_tiles_per_gaussian=_round_up(max(max_bbox, 1), 4),
+            bbox_tiles_per_gaussian=0,
             tile_capacity=_round_up(
                 min(int(gaussians.num_alive), 1 << 17), 128))
         _, _, _, stats = bin_and_gather_packed(proj, cam.width, cam.height,
                                                probe)
         max_count = max(max_count, int(stats.max_tile_count))
 
+    kept = _round_up(int(math.ceil(max_cover * headroom)), 4)
+    bbox = _round_up(int(math.ceil(max_bbox * headroom)), 4)
     return dataclasses.replace(
         base,
-        max_tiles_per_gaussian=_round_up(int(math.ceil(max_cover * headroom)), 4),
+        max_tiles_per_gaussian=kept,
+        # enumerate the full bbox only when the cull buys slot reduction
+        bbox_tiles_per_gaussian=bbox if bbox > kept else 0,
         tile_capacity=_round_up(int(math.ceil(max_count * headroom)), 128),
     )

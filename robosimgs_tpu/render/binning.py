@@ -108,6 +108,74 @@ def bin_rects(
     return sel, counts, stats
 
 
+def _cull_keep(m2d, cop, tx0, ty0, col, row, tile_size: int,
+               alpha_min: float) -> jax.Array:
+    """Exact ellipse-tile intersection keep-mask for (N, M) candidate
+    tiles: keep iff min over the tile's pixel-center rect of the
+    quadratic form q = .5*ca*u^2 + cb*u*v + .5*cc*v^2 is <=
+    log(op / alpha_min) — a dropped tile has alpha < alpha_min at EVERY
+    pixel, so the compositor keep-mask zeroes it (values AND grads)
+    anyway; culling is lossless. The rect min of the PSD quadratic is 0
+    if the mean is inside, else the min over the four clamped edge
+    restrictions.
+
+    m2d (N, 2) screen means; cop (N, 4) [conic_a, conic_b, conic_c,
+    opacity]; tx0/ty0 (N,) bbox tile origins; col/row (N, M) or (1, M)
+    candidate offsets within the bbox.
+    """
+    ts_f = float(tile_size)
+    ca, cb, cc, op = (cop[:, 0:1], cop[:, 1:2], cop[:, 2:3], cop[:, 3:4])
+    u0 = (tx0[:, None] + col).astype(jnp.float32) * ts_f - m2d[:, 0:1]
+    v0 = (ty0[:, None] + row).astype(jnp.float32) * ts_f - m2d[:, 1:2]
+    u1 = u0 + (ts_f - 1.0)
+    v1 = v0 + (ts_f - 1.0)
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+
+    def edge_u(uf):  # u fixed, v free in [v0, v1]
+        vs = jnp.clip(-cb * uf / cc_s, v0, v1)
+        return (0.5 * ca) * uf * uf + cb * uf * vs + (0.5 * cc) * vs * vs
+
+    def edge_v(vf):  # v fixed, u free in [u0, u1]
+        us = jnp.clip(-cb * vf / ca_s, u0, u1)
+        return (0.5 * ca) * us * us + cb * us * vf + (0.5 * cc) * vf * vf
+
+    qmin = jnp.minimum(jnp.minimum(edge_u(u0), edge_u(u1)),
+                       jnp.minimum(edge_v(v0), edge_v(v1)))
+    inside = (u0 <= 0.0) & (0.0 <= u1) & (v0 <= 0.0) & (0.0 <= v1)
+    qmin = jnp.where(inside, 0.0, qmin)
+    qcut = jnp.log(jnp.maximum(op, 1e-12) / alpha_min)
+    # cull only with a definitely-PSD conic (conservative otherwise)
+    psd = (ca > 0.0) & (cc > 0.0)
+    return ~psd | (qmin <= qcut)
+
+
+def per_gaussian_cover(proj: Projected, width: int, height: int,
+                       cfg: RenderConfig, max_tiles: int) -> jax.Array:
+    """(N,) int32 — tiles each gaussian actually hits after the exact
+    cull (bbox cover when exact_tile_cull is off), enumerating up to
+    max_tiles bbox tiles. Autotune uses this to right-size
+    max_tiles_per_gaussian (the cull typically removes bbox corner
+    tiles, so the needed M is smaller than the bbox cover)."""
+    tiles_x, tiles_y = num_tiles(width, height, cfg.tile_size)
+    radii = jnp.where(proj.valid, proj.radii.astype(jnp.float32), 0.0)
+    tx0, ty0, tx1, ty1 = tile_bbox(proj.means2d, radii, tiles_x, tiles_y,
+                                   cfg.tile_size)
+    bw = (tx1 - tx0 + 1).clip(0)
+    cover = bw * (ty1 - ty0 + 1).clip(0)
+    e = jnp.arange(max_tiles, dtype=jnp.int32)[None, :]
+    row, col = _divmod_small(e, jnp.maximum(bw, 1)[:, None])
+    valid_e = (e < cover[:, None]) & (radii > 0.0)[:, None]
+    if cfg.exact_tile_cull:
+        cop = jnp.stack([proj.conics[:, 0], proj.conics[:, 1],
+                         proj.conics[:, 2],
+                         jnp.where(proj.valid, proj.opacities, 0.0)], axis=1)
+        valid_e = valid_e & _cull_keep(
+            jax.lax.stop_gradient(proj.means2d), jax.lax.stop_gradient(cop),
+            tx0, ty0, col, row, cfg.tile_size, cfg.alpha_min)
+    return jnp.sum(valid_e, axis=1).astype(jnp.int32)
+
+
 def bin_gaussians(
     proj: Projected, width: int, height: int, cfg: RenderConfig
 ) -> Tuple[jax.Array, jax.Array, BinStats]:
@@ -252,50 +320,27 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     bw = (tx1 - tx0 + 1).clip(0)
     cover = bw * (ty1 - ty0 + 1).clip(0)
 
-    e = jnp.arange(M, dtype=jnp.int32)[None, :]
+    # enumerate Mb bbox tiles; after the cull, survivors are compacted
+    # down to M slots (one small row-local sort: sentinels = T sort to
+    # the tail, order within a row is irrelevant — the global key sort
+    # below owns ordering), so the N*M key sort runs over SURVIVOR
+    # capacity while the bbox enumeration can be wider.
+    Mb = max(cfg.bbox_tiles_per_gaussian, M)
+    e = jnp.arange(Mb, dtype=jnp.int32)[None, :]
     bw_safe = jnp.maximum(bw, 1)[:, None]
     valid_e = (e < cover[:, None]) & valid_s[:, None]
     row, col = _divmod_small(e, bw_safe)
     tid = (ty0[:, None] + row) * tiles_x + (tx0[:, None] + col)
 
     if cfg.exact_tile_cull:
-        # Exact ellipse-tile intersection: drop bbox tiles where
-        # min_q over the tile's pixel-center rect exceeds
-        # log(op / alpha_min) — there alpha < alpha_min at every pixel,
-        # so the kernels' keep-mask zeroes the entry anyway (values AND
-        # grads); culling it here is lossless. The rect min of the PSD
-        # quadratic q = .5*ca*u^2 + cb*u*v + .5*cc*v^2 is 0 if the mean
-        # is inside, else the min over the four clamped edge restrictions.
-        ts_f = float(cfg.tile_size)
-        ca = bbox_s[:, 3:4]
-        cb = bbox_s[:, 4:5]
-        cc = bbox_s[:, 5:6]
-        op = bbox_s[:, 6:7]
-        u0 = (tx0[:, None] + col).astype(jnp.float32) * ts_f - m2d_s[:, 0:1]
-        v0 = (ty0[:, None] + row).astype(jnp.float32) * ts_f - m2d_s[:, 1:2]
-        u1 = u0 + (ts_f - 1.0)
-        v1 = v0 + (ts_f - 1.0)
-        ca_s = jnp.maximum(ca, 1e-12)
-        cc_s = jnp.maximum(cc, 1e-12)
-
-        def edge_u(uf):  # u fixed, v free in [v0, v1]
-            vs = jnp.clip(-cb * uf / cc_s, v0, v1)
-            return (0.5 * ca) * uf * uf + cb * uf * vs + (0.5 * cc) * vs * vs
-
-        def edge_v(vf):  # v fixed, u free in [u0, u1]
-            us = jnp.clip(-cb * vf / ca_s, u0, u1)
-            return (0.5 * ca) * us * us + cb * us * vf + (0.5 * cc) * vf * vf
-
-        qmin = jnp.minimum(jnp.minimum(edge_u(u0), edge_u(u1)),
-                           jnp.minimum(edge_v(v0), edge_v(v1)))
-        inside = (u0 <= 0.0) & (0.0 <= u1) & (v0 <= 0.0) & (0.0 <= v1)
-        qmin = jnp.where(inside, 0.0, qmin)
-        qcut = jnp.log(jnp.maximum(op, 1e-12) / cfg.alpha_min)
-        # cull only with a definitely-PSD conic (conservative otherwise)
-        psd = (ca > 0.0) & (cc > 0.0)
-        valid_e = valid_e & (~psd | (qmin <= qcut))
+        valid_e = valid_e & _cull_keep(
+            m2d_s, bbox_s[:, 3:7], tx0, ty0, col, row,
+            cfg.tile_size, cfg.alpha_min)
 
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)   # sentinel sorts last
+    surv = jnp.sum(valid_e, axis=1).astype(jnp.int32)    # per-gaussian cover
+    if Mb > M:
+        tid = jnp.sort(tid, axis=1)[:, :M]
 
     # entries are already depth-ordered (rows ascend in rank), so a
     # stable sort by tile id alone preserves front-to-back order per
@@ -351,10 +396,11 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     feat = gathered[:, 8:]
 
     stats = BinStats(
-        truncated_gaussians=jnp.sum((cover > M) & valid_s).astype(jnp.int32),
+        truncated_gaussians=jnp.sum(
+            valid_s & ((cover > Mb) | (surv > M))).astype(jnp.int32),
         overflowed_tiles=jnp.sum(full_counts > K).astype(jnp.int32),
         max_tile_count=jnp.max(full_counts).astype(jnp.int32),
-        total_pairs=jnp.sum(valid_e).astype(jnp.int32),
+        total_pairs=jnp.sum(jnp.minimum(surv, M)).astype(jnp.int32),
     )
     if return_sel:
         return geom, feat, counts, stats, sel

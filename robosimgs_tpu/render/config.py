@@ -56,6 +56,12 @@ class RenderConfig:
     # static capacities (overflow/truncation is counted in BinStats,
     # never silent; raise these for scenes with very large splats)
     max_tiles_per_gaussian: int = 32
+    # bbox tiles enumerated per gaussian before the exact cull
+    # (0 = max_tiles_per_gaussian). When larger, surviving tiles are
+    # row-compacted down to max_tiles_per_gaussian slots, so the sort
+    # runs over SURVIVOR capacity while the bbox can be bigger — set
+    # via autotune (bbox max) to shrink sort work on wide-splat scenes.
+    bbox_tiles_per_gaussian: int = 0
     tile_capacity: int = 1024
     # VMEM-resident entries per compositing pass; the Pallas kernels
     # stream ceil(tile_capacity / tile_chunk) chunks per tile with

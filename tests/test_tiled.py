@@ -308,3 +308,53 @@ def test_exact_tile_cull_lossless():
 
     g_ref = jax.grad(loss_ref)(g.means)
     assert float(jnp.abs(g_on - g_ref).max()) <= 1e-4 * max(scale, 1.0)
+
+
+def test_bbox_enumeration_with_survivor_compaction():
+    """bbox_tiles_per_gaussian > max_tiles_per_gaussian: enumerate the
+    full bbox, cull, row-compact survivors into M slots — lossless when
+    M covers the surviving maximum, truncation counted when not."""
+    import dataclasses
+
+    from robosimgs_tpu.render.binning import (bin_and_gather_packed,
+                                              per_gaussian_cover)
+    from robosimgs_tpu.render.reference import composite_reference
+
+    cam = Camera.look_at([3.5, 0.5, 1.0], [0, 0, 0], [0, 0, 1], 55.0,
+                         128, 96)
+    g = Gaussians.random(jax.random.PRNGKey(9), 1500, sh_degree=1)
+    base = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=32)
+    proj = project(g, cam, base)
+    surv_max = int(per_gaussian_cover(proj, 128, 96, base, 32).max())
+    assert surv_max >= 2, "degenerate scene"
+
+    cfg = dataclasses.replace(base, max_tiles_per_gaussian=surv_max,
+                              bbox_tiles_per_gaussian=32)
+    *_, st = bin_and_gather_packed(proj, 128, 96, cfg)
+    assert int(st.truncated_gaussians) == 0
+    out = composite_tiled(proj, 128, 96, cfg, compositor="pallas")
+    ref = composite_reference(proj, 128, 96, cfg)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=1e-6)
+
+    # under-provisioned M: truncation must be COUNTED, never silent
+    cfg_small = dataclasses.replace(cfg,
+                                    max_tiles_per_gaussian=surv_max - 1)
+    *_, st2 = bin_and_gather_packed(proj, 128, 96, cfg_small)
+    assert int(st2.truncated_gaussians) > 0
+
+
+def test_autotune_recommends_survivor_capacities():
+    from robosimgs_tpu.render.autotune import recommend_capacities
+    from robosimgs_tpu.render.binning import bin_and_gather_packed
+
+    cam = Camera.look_at([3.5, 0.5, 1.0], [0, 0, 0], [0, 0, 1], 55.0,
+                         128, 96)
+    g = Gaussians.random(jax.random.PRNGKey(10), 2000, sh_degree=1)
+    rec = recommend_capacities(g, [cam])
+    proj = project(g, cam, rec)
+    *_, st = bin_and_gather_packed(proj, 128, 96, rec)
+    assert int(st.truncated_gaussians) == 0
+    assert int(st.overflowed_tiles) == 0
+    if rec.bbox_tiles_per_gaussian:
+        assert rec.bbox_tiles_per_gaussian > rec.max_tiles_per_gaussian
