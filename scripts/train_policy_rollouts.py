@@ -98,21 +98,38 @@ def main():
         np.array([0.8], np.float32))])
     center = 0.5 * (verts.min(0) + verts.max(0))
     radius = float(np.linalg.norm(verts - center, axis=1).max())
-    base_eye = center + radius * np.array([2.0, 1.2, 1.4])
+    base_eye = center + radius * np.array([1.1, 0.7, 0.8])
     print(f"object center {center.round(3)} radius {radius:.3f}", flush=True)
 
-    # background: gaussian clutter scaled to the object's neighborhood
-    bg = Gaussians.random(jax.random.PRNGKey(3), 4000, sh_degree=1,
-                          extent=2.5 * radius)
-    bg = bg.replace(means=bg.means + jnp.asarray(center, jnp.float32))
+    # background: gaussian clutter pushed OUTSIDE a clear zone around
+    # the object (clutter between camera and object drowns the visual
+    # signal — the first run's frames were mostly noise and the policy
+    # leaned on the state input)
+    bg = Gaussians.random(jax.random.PRNGKey(3), 2500, sh_degree=1,
+                          extent=3.0 * radius)
+    m = np.asarray(bg.means)
+    d = np.linalg.norm(m, axis=1, keepdims=True)
+    push = np.maximum(1.6 * radius, d) / np.maximum(d, 1e-6)
+    bg = bg.replace(means=jnp.asarray(m * push + center, jnp.float32))
 
     RES = 64
     n_eps, ep_len = 64, 40
     rng = np.random.default_rng(0)
+    cache = os.path.join(out, "dataset.npz")
+    if os.path.exists(cache):
+        # resume: reuse the rendered dataset (rendering dominates CPU
+        # wall-clock; training/eval tweaks shouldn't pay for it again)
+        z = np.load(cache)
+        ds = RolloutDataset(images=z["images"], states=z["states"],
+                            actions=z["actions"],
+                            episode_ends=list(z["ends"]))
+        t_render = 0.0
+        print(f"loaded cached dataset {cache}: "
+              f"{ds.images.shape[0]} frames", flush=True)
     images, states, actions, ends = [], [], [], []
     t_render0 = time.time()
     count = 0
-    for e in range(n_eps):
+    for e in range(n_eps if not os.path.exists(cache) else 0):
         _pet()
         q0 = rng.uniform(0.0, 0.5)
         speed = rng.uniform(0.03, 0.08)
@@ -146,15 +163,20 @@ def main():
         if (e + 1) % 8 == 0:
             print(f"  rendered episode {e+1}/{n_eps} "
                   f"({time.time()-t_render0:.1f}s)", flush=True)
-    t_render = time.time() - t_render0
-    ds = RolloutDataset(images=np.concatenate(images),
-                        states=np.concatenate(states).astype(np.float32),
-                        actions=np.concatenate(actions).astype(np.float32),
-                        episode_ends=ends)
+    if not os.path.exists(cache):
+        t_render = time.time() - t_render0
+        ds = RolloutDataset(images=np.concatenate(images),
+                            states=np.concatenate(states).astype(np.float32),
+                            actions=np.concatenate(actions).astype(np.float32),
+                            episode_ends=ends)
+        np.savez_compressed(cache, images=ds.images, states=ds.states,
+                            actions=ds.actions,
+                            ends=np.asarray(ds.episode_ends))
     n_frames = ds.images.shape[0]
+    fps = n_frames / t_render if t_render > 0 else float("inf")
     print(f"dataset: {n_frames} frames ({n_eps} eps x {ep_len}) "
-          f"@{RES}x{RES} in {t_render:.1f}s "
-          f"({n_frames / t_render:.1f} frames/s)", flush=True)
+          f"@{RES}x{RES} in {t_render:.1f}s ({fps:.1f} frames/s)",
+          flush=True)
 
     pc = DiffusionPolicyConfig(action_dim=1, horizon=8, obs_horizon=2,
                                image_size=(RES, RES), state_dim=1,
@@ -189,7 +211,7 @@ def main():
     # full 50-step DDPM sampling at eval time
     from robosimgs_tpu.policy.inference import ActionChunker
     policy50 = lambda im, s: tr.predict(im, s, n_steps=50)
-    n_eval, steps = 8, 32
+    n_eval, steps = 8, 40
     modes = {}
     t_eval0 = time.time()
     for mode in ("receding", "ensemble"):
