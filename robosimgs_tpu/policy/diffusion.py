@@ -164,7 +164,12 @@ def sample_actions(model: DiffusionPolicy, params, schedule: NoiseSchedule,
                           method=DiffusionPolicy.denoise)
         ac_t = ac[t]
         x0 = (x - jnp.sqrt(1 - ac_t) * eps) / jnp.sqrt(ac_t)
-        x0 = jnp.clip(x0, -3.0, 3.0)
+        # clip to the normalized action range (actions are min-max
+        # scaled to [-1, 1]): the diffusion_policy convention. A looser
+        # clip lets per-step x0 estimates drift outside the data range
+        # and systematically undershoots boundary actions (e.g. a
+        # saturating joint limit at exactly +1).
+        x0 = jnp.clip(x0, -1.0, 1.0)
         ac_next = jnp.where(t_next >= 0, ac[jnp.maximum(t_next, 0)], 1.0)
         # DDIM deterministic update toward t_next
         x_new = jnp.sqrt(ac_next) * x0 + jnp.sqrt(1 - ac_next) * eps
