@@ -34,13 +34,16 @@ def _watchdog():
 
 
 def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     jax.jit(lambda x: (x * 3).sum())(jnp.ones((32, 32))).block_until_ready()
     print(f"backend={jax.default_backend()}", flush=True)
+    if jax.default_backend() == "tpu":
+        # the wedge watchdog only makes sense through the axon tunnel;
+        # on CPU a long training arm legitimately exceeds 420 s
+        threading.Thread(target=_watchdog, daemon=True).start()
 
     from robosimgs_tpu.core.types import Gaussians
     from robosimgs_tpu.render.config import RenderConfig

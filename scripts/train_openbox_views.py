@@ -60,7 +60,6 @@ def build_transforms(out_dir: str) -> str:
 
 
 def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/openbox_train"
     os.makedirs(out_dir, exist_ok=True)
 
@@ -70,6 +69,9 @@ def main():
 
     jax.jit(lambda x: (x * 3).sum())(jnp.ones((32, 32))).block_until_ready()
     print(f"backend={jax.default_backend()}", flush=True)
+    if jax.default_backend() == "tpu":
+        # wedge watchdog is for the axon tunnel; CPU arms run long
+        threading.Thread(target=_watchdog, daemon=True).start()
 
     from robosimgs_tpu.core.types import Gaussians
     from robosimgs_tpu.render.config import RenderConfig
