@@ -73,7 +73,13 @@ def main():
     # capacity, so deeper entries never contribute) — asserted below
     # against a lossless render every run, so the capacity tune can
     # never silently degrade the benchmarked workload.
-    cfg = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=12)
+    # RSGS_BENCH_M / RSGS_BENCH_BBOX: measure the survivor-compaction
+    # variant (e.g. M=10 BBOX=12 — the bench scene's post-cull max
+    # coverage is 9) without editing the recorded default config.
+    m_kept = int(os.environ.get("RSGS_BENCH_M", "12"))
+    m_bbox = int(os.environ.get("RSGS_BENCH_BBOX", "0"))
+    cfg = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=m_kept,
+                       bbox_tiles_per_gaussian=m_bbox)
     cfg_lossless = RenderConfig(tile_capacity=5120, tile_chunk=512,
                                 max_tiles_per_gaussian=12)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, RES, RES)
