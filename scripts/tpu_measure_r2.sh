@@ -25,9 +25,9 @@ echo "== 5. quality-feature A/B at TPU scale (512^2)"
 AB_RES=512 AB_ITERS=1200 \
   bash scripts/tpu_run.sh scripts/ab_features.py 2>&1 | tee /tmp/r2m/ab512.log
 
-echo "== done; logs in /tmp/r2m/"
-
 echo "== 6. openbox-views capture-proxy training at 400^2 (real-scan renders)"
 OPENBOX_DOWNSCALE=2 OPENBOX_CAPACITY=120000 OPENBOX_ITERS=3000 \
   bash scripts/tpu_run.sh scripts/train_openbox_views.py /tmp/r2m/openbox \
   2>&1 | tee /tmp/r2m/openbox.log
+
+echo "== done; logs in /tmp/r2m/"
