@@ -37,6 +37,20 @@ def build_parser():
     p.add_argument("--scene-extent", type=float, default=None,
                    help="override the camera-derived scene extent "
                         "(scales means-lr and densify/prune thresholds)")
+    # splatfacto-parity quality features (docs/evidence A/B numbers)
+    p.add_argument("--absgrad", action="store_true",
+                   help="densify on per-pixel |dL/dmean2d| (gsplat "
+                        "absgrad; pair with a ~4x --grad-threshold)")
+    p.add_argument("--grad-threshold", type=float, default=None,
+                   help="densification gradient threshold override")
+    p.add_argument("--antialiased", action="store_true",
+                   help="mip-splatting opacity compensation")
+    p.add_argument("--scale-reg", type=float, default=0.0,
+                   help="scale-ratio regularizer weight (splatfacto "
+                        "use_scale_regularization; 0 = off)")
+    p.add_argument("--exposure", action="store_true",
+                   help="per-frame affine exposure correction "
+                        "(auto-exposure captures)")
     return p
 
 
@@ -55,7 +69,9 @@ def main(argv=None):
 
     os.makedirs(args.output, exist_ok=True)
 
-    render_cfg = RenderConfig(tile_capacity=args.tile_capacity)
+    render_cfg = RenderConfig(tile_capacity=args.tile_capacity,
+                              absgrad=args.absgrad,
+                              antialiased=args.antialiased)
 
     if args.synthetic:
         gt, frames = synthetic_scene(seed=0, n_gaussians=args.synthetic,
@@ -101,6 +117,19 @@ def main(argv=None):
     scene_extent = (args.scene_extent if args.scene_extent is not None
                     else camera_extent(frames))
     print(f"scene extent: {scene_extent:.3f}")
+    import dataclasses
+
+    from robosimgs_tpu.train.densify import DensifyConfig
+
+    densify = DensifyConfig()
+    if args.grad_threshold is not None:
+        densify = dataclasses.replace(densify,
+                                      grad_threshold=args.grad_threshold)
+    elif args.absgrad:
+        # gsplat convention: absolute-value sums need ~4x the signed
+        # threshold (no sign cancellation)
+        densify = dataclasses.replace(
+            densify, grad_threshold=densify.grad_threshold * 4)
     cfg = TrainConfig(
         iterations=args.iterations,
         render=render_cfg,
@@ -109,6 +138,9 @@ def main(argv=None):
         checkpoint_dir=os.path.abspath(os.path.join(args.output, "checkpoints")),
         checkpoint_every=args.checkpoint_every,
         scene_extent=scene_extent,
+        densify=densify,
+        scale_reg_lambda=args.scale_reg,
+        exposure=args.exposure,
     )
 
     trainer = Trainer(cfg, init, train_frames, eval_frames)
