@@ -242,7 +242,8 @@ def main():
     results = {
         "dataset": {"episodes": n_eps, "ep_len": ep_len, "res": RES,
                     "frames": int(n_frames), "render_s": round(t_render, 1),
-                    "frames_per_s": round(n_frames / t_render, 1)},
+                    "frames_per_s": round(n_frames / t_render, 1)
+                    if t_render > 0 else None},
         "training": {"steps": tcfg.total_steps, "batch": tcfg.batch_size,
                      "seconds": round(t_train, 1),
                      "steps_per_s": round(sps, 2),
