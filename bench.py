@@ -205,21 +205,28 @@ def _staged(err, pet):
     def step(params, opt_state):
         def loss_fn(p):
             out = composite_tiled(project(g.replace(**p), cam, cfg),
-                                  res, res, cfg)
-            return photometric_loss(out["rgb"], target)
+                                  res, res, cfg, return_stats=True)
+            return photometric_loss(out["rgb"], target), out["stats"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, stats), grads = jax.value_and_grad(loss_fn,
+                                                  has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, stats
 
     step = jax.jit(step, donate_argnums=(0, 1))
-    params, opt_state, loss = step(params, opt_state)
+    params, opt_state, loss, stats = step(params, opt_state)
     jax.block_until_ready(loss)
     pet()
+    # truncation is never silent (CLAUDE.md): report it next to the
+    # number so an under-provisioned staged config can't masquerade as
+    # a faster one
+    print(f"1M staged stats: trunc={int(stats.truncated_gaussians)} "
+          f"overflow_tiles={int(stats.overflowed_tiles)} "
+          f"max_tile_count={int(stats.max_tile_count)}", file=err)
     t0 = time.time()
     for _ in range(10):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss, stats = step(params, opt_state)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / 10
     print(json.dumps({"metric": "train_step_ms_1M_512", "value":
@@ -234,6 +241,15 @@ def _staged(err, pet):
                            [0, 0, 1], 60.0, 640, 480) for i in range(4)]
     rcfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
                         max_tiles_per_gaussian=12)
+
+    from robosimgs_tpu.render.binning import bin_and_gather_packed
+    for i, c in enumerate(cams):
+        *_, st = jax.jit(lambda: bin_and_gather_packed(
+            project(g2, c, rcfg), 640, 480, rcfg))()
+        if int(st.truncated_gaussians) or int(st.overflowed_tiles):
+            print(f"rollout staged cam{i}: trunc="
+                  f"{int(st.truncated_gaussians)} overflow="
+                  f"{int(st.overflowed_tiles)}", file=err)
 
     def frame(p):
         return [composite_tiled(project(g2.replace(means=p), c, rcfg),

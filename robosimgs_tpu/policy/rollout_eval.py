@@ -93,7 +93,9 @@ def run_closed_loop(
             actions_out.append(np.asarray(a, np.float32))
             observe(q)
             t += 1
-    while t < steps:
+    # the two execution modes are mutually exclusive (policy_fn is
+    # unused in chunker mode — see docstring)
+    while chunker is None and t < steps:
         # stack the most recent obs_horizon observations (pad with first)
         imgs = obs_imgs[-obs_horizon:]
         sts = obs_states[-obs_horizon:]

@@ -87,7 +87,7 @@ def _alpha_block(g, px, py, cfg: RenderConfig, dlim=None):
 
 
 def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
-                out_ref, tfin_ref, nblk_ref, acc_scr, t_scr, nb_scr,
+                out_ref, tfin_ref, nblk_ref, acc_scr, t_scr, lt_scr, nb_scr,
                 *, cfg: RenderConfig, tiles_x: int, n_tiles_img: int,
                 n_chunks: int, kc: int, has_dlim: bool = True):
     ts = cfg.tile_size
@@ -110,12 +110,13 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
         t_scr[:] = jnp.ones_like(t_scr)
+        lt_scr[:] = jnp.zeros_like(lt_scr)
         nb_scr[0] = 0
 
     count_loc = jnp.clip(count - c * kc, 0, kc)
 
     def body(carry):
-        i, acc, tc = carry
+        i, acc, tc, ltc = carry
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
         alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
@@ -132,22 +133,30 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
             f, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
         tc = tc * jnp.exp(incl[:, BK - 1:BK])
-        return i + 1, acc, tc
+        # ALSO accumulate log-T: the linear tc underflows f32 to 0 on
+        # saturated pixels (by design — exactly the saturation
+        # semantics), but the backward must reconstruct per-block
+        # transmittance by SUBTRACTING block sums from the final value,
+        # which is impossible from an underflowed 0 (it zeroed ALL
+        # gradients on such pixels, including the visible front splats).
+        ltc = ltc + incl[:, BK - 1:BK]
+        return i + 1, acc, tc, ltc
 
     def cond(carry):
-        i, _, tc = carry
+        i, _, tc, _ = carry
         return (i * BK < count_loc) & (jnp.max(tc) >= cfg.transmittance_min)
 
-    n_i, acc, tc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), acc_scr[:], t_scr[:]))
+    n_i, acc, tc, ltc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), acc_scr[:], t_scr[:], lt_scr[:]))
     acc_scr[:] = acc
     t_scr[:] = tc
+    lt_scr[:] = ltc
     nb_scr[0] = nb_scr[0] + n_i
 
     @pl.when(c == n_chunks - 1)
     def _():
         out_ref[0] = acc_scr[:]
-        tfin_ref[0] = t_scr[:]
+        tfin_ref[0] = lt_scr[:]      # LOG of final transmittance
         nblk_ref[t, 0] = nb_scr[0]   # full-array SMEM block, row = tile
 
 
@@ -195,10 +204,12 @@ def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
     @pl.when(cidx == 0)
     def _():
         suf_scr[:] = jnp.zeros_like(suf_scr)
-        # log of the forward's final transmittance; clamped so fully
-        # saturated pixels (T underflowed to 0) stay at a large finite
-        # negative log instead of -inf (exp still returns exactly 0)
-        lt_scr[:] = jnp.log(jnp.maximum(tfin_ref[0], 1e-45))
+        # the forward's final transmittance, already in LOG space (the
+        # forward accumulates it exactly even where the linear T
+        # underflows f32 to 0 — reconstructing from log(max(T, tiny))
+        # zeroed every gradient on saturated pixels, front splats
+        # included)
+        lt_scr[:] = tfin_ref[0]
 
     dgeom_ref[0] = jnp.zeros_like(dgeom_ref[0])
     dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
@@ -299,7 +310,12 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
                          cfg: RenderConfig, interpret: bool | None = None,
                          n_tiles_per_image: int = 0, has_dlim: bool = True):
     """(T,8,K) geom/feat + (T,) counts + (T,P,1) depth limits ->
-    (out (T,8,P), t_final (T,P,1), n_blocks (T,1) int32)."""
+    (out (T,8,P), log_t_final (T,P,1), n_blocks (T,1) int32).
+
+    log_t_final is the LOG of each pixel's final transmittance over the
+    processed blocks — exact even where linear T underflows f32 to 0 on
+    saturated pixels; the backward reconstructs per-block transmittance
+    from it by subtraction."""
     T, _, CK = geom.shape
     kc, C = _chunking(cfg, CK)
     P = cfg.tile_size * cfg.tile_size
@@ -325,6 +341,7 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
         scratch_shapes=[
             pltpu.VMEM((8, P), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),   # carried log-T
             pltpu.SMEM((1,), jnp.int32),
         ],
     )

@@ -13,24 +13,14 @@ import dataclasses
 import json
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-_done = {"ok": False, "last": time.time()}
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from wedgeguard import start_wedge_guard  # noqa: E402
 
-
-def _pet():
-    _done["last"] = time.time()
-
-
-def _watchdog():
-    while not _done["ok"]:
-        time.sleep(30)
-        if time.time() - _done["last"] > 420:
-            print("WATCHDOG: compile wedged — rerun this script", flush=True)
-            os._exit(17)
+_pet = start_wedge_guard()   # no-op on JAX_PLATFORMS=cpu
 
 
 def main():
@@ -40,10 +30,6 @@ def main():
 
     jax.jit(lambda x: (x * 3).sum())(jnp.ones((32, 32))).block_until_ready()
     print(f"backend={jax.default_backend()}", flush=True)
-    if jax.default_backend() == "tpu":
-        # the wedge watchdog only makes sense through the axon tunnel;
-        # on CPU a long training arm legitimately exceeds 420 s
-        threading.Thread(target=_watchdog, daemon=True).start()
 
     from robosimgs_tpu.core.types import Gaussians
     from robosimgs_tpu.render.config import RenderConfig
@@ -103,7 +89,6 @@ def main():
         print(f"{name}: {results[name]}", flush=True)
 
     print("AB_RESULTS " + json.dumps(results), flush=True)
-    _done["ok"] = True
 
 
 if __name__ == "__main__":

@@ -16,7 +16,6 @@ Run: bash scripts/tpu_run.sh scripts/train_openbox_views.py [out_dir]
 import json
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -25,19 +24,10 @@ SEG = "/root/reference/Articulation/openbox_output/segmentation"
 PARTS = "/root/reference/Articulation/openbox_output/parts"
 EVAL_VIEW = "right"
 
-_done = {"ok": False, "last": time.time()}
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from wedgeguard import start_wedge_guard  # noqa: E402
 
-
-def _pet():
-    _done["last"] = time.time()
-
-
-def _watchdog():
-    while not _done["ok"]:
-        time.sleep(30)
-        if time.time() - _done["last"] > 420:
-            print("WATCHDOG: compile wedged — rerun this script", flush=True)
-            os._exit(17)
+_pet = start_wedge_guard()   # no-op on JAX_PLATFORMS=cpu
 
 
 def build_transforms(out_dir: str) -> str:
@@ -69,9 +59,6 @@ def main():
 
     jax.jit(lambda x: (x * 3).sum())(jnp.ones((32, 32))).block_until_ready()
     print(f"backend={jax.default_backend()}", flush=True)
-    if jax.default_backend() == "tpu":
-        # wedge watchdog is for the axon tunnel; CPU arms run long
-        threading.Thread(target=_watchdog, daemon=True).start()
 
     from robosimgs_tpu.core.types import Gaussians
     from robosimgs_tpu.render.config import RenderConfig
@@ -161,7 +148,6 @@ def main():
                    "views": len(train_frames),
                    "resolution": [cam0.width, cam0.height]}, fh, indent=1)
     print(f"artifacts in {out_dir}", flush=True)
-    _done["ok"] = True
 
 
 if __name__ == "__main__":

@@ -25,25 +25,15 @@ Run: bash scripts/tpu_run.sh scripts/train_policy_rollouts.py [out_dir]
 import json
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-_done = {"ok": False, "last": time.time()}
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from wedgeguard import start_wedge_guard  # noqa: E402
+
+_pet = start_wedge_guard()   # no-op on JAX_PLATFORMS=cpu
 OPENBOX = "/root/reference/Articulation/openbox_output"
-
-
-def _pet():
-    _done["last"] = time.time()
-
-
-def _watchdog():
-    while not _done["ok"]:
-        time.sleep(30)
-        if time.time() - _done["last"] > 420:
-            print("WATCHDOG: compile wedged — rerun this script", flush=True)
-            os._exit(17)
 
 
 def build_openbox(out_dir):
@@ -61,7 +51,6 @@ def build_openbox(out_dir):
 
 
 def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
     import numpy as np

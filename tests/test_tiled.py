@@ -358,3 +358,37 @@ def test_autotune_recommends_survivor_capacities():
     assert int(st.overflowed_tiles) == 0
     if rec.bbox_tiles_per_gaussian:
         assert rec.bbox_tiles_per_gaussian > rec.max_tiles_per_gaussian
+
+
+def test_saturated_pixel_gradients_nonzero():
+    """Regression: when enough near-opaque splats stack on a pixel, the
+    forward's linear transmittance underflows f32 to exactly 0 (the
+    saturation semantics). The single-sweep backward must still
+    reconstruct per-block transmittance — it reconstructs from the
+    forward's LOG-space carry; rebuilding from log(max(T_linear, tiny))
+    silently zeroed every gradient on such pixels, front splats
+    included."""
+    from robosimgs_tpu.render.reference import composite_reference
+
+    n = 64
+    g = Gaussians.random(jax.random.PRNGKey(0), n, sh_degree=1)
+    means = np.zeros((n, 3), np.float32)
+    means[:, 0] = np.linspace(-0.01, 0.01, n)
+    g = g.replace(means=jnp.asarray(means),
+                  logit_opacities=jnp.full((n,), 6.0))  # alpha ~ 0.9975
+    cam = Camera.look_at([2.5, 0, 0], [0, 0, 0], [0, 0, 1], 45.0, 32, 32)
+    cfg = RenderConfig(tile_capacity=128)
+    proj = project(g, cam, cfg)
+
+    def loss(means, f):
+        o = f(project(g.replace(means=means), cam, cfg))
+        return jnp.sum(o["rgb"] ** 2)
+
+    gp = jax.grad(loss)(g.means, lambda p: composite_tiled(
+        p, 32, 32, cfg, compositor="pallas"))
+    gr = jax.grad(loss)(g.means, lambda p: composite_reference(
+        p, 32, 32, cfg))
+    # the bug mode was gp == 0 exactly while |gr| ~ 0.8
+    assert float(jnp.linalg.norm(gp)) > 0.1
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               atol=1e-4, rtol=1e-3)
