@@ -110,10 +110,15 @@ def _ellipsoid(rng: np.random.Generator, sub: int = 2):
     return (v * rng.uniform(0.15, 0.5, 3)).astype(np.float32), f
 
 
-def make_scene(seed: int, size: int, max_parts: int = 3):
+def make_scene(seed: int, size: int, max_parts: int = 3,
+               scan_like: bool = False):
     """Random multi-part assembly rendered with the Segmenter's own
     rasterizer+shading. Returns (image (S,S,3) f32, part_id (S,S) int32
-    with -1 = background)."""
+    with -1 = background).
+
+    scan_like=True draws all part albedos from a narrow light palette
+    (real scans like the reference's openbox are near-uniform white-ish
+    — the net must segment from shading/silhouette edges, not color)."""
     from robosimgs_tpu.artic.render_views import shade, view_camera
     from robosimgs_tpu.render.mesh_raster import (MeshRasterConfig,
                                                   rasterize_mesh)
@@ -127,7 +132,12 @@ def make_scene(seed: int, size: int, max_parts: int = 3):
         # random rotation (QR of a Gaussian) + offset so parts touch
         R = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
         v = v @ R.T + rng.uniform(-0.5, 0.5, 3).astype(np.float32)
-        color = rng.uniform(0.15, 0.95, 3).astype(np.float32)
+        if scan_like:
+            base = rng.uniform(0.55, 0.85)
+            color = np.clip(base + rng.uniform(-0.08, 0.08, 3),
+                            0.0, 1.0).astype(np.float32)
+        else:
+            color = rng.uniform(0.15, 0.95, 3).astype(np.float32)
         parts.append(Mesh(vertices=v.astype(np.float32), faces=f,
                           vertex_colors=np.tile(color, (len(v), 1))))
         face_part.append(np.full((len(f),), p, np.int32))
@@ -193,8 +203,11 @@ def train_masknet(
     import optax
 
     rng = np.random.default_rng(seed)
-    scenes = [make_scene(1000 + s, size) for s in range(n_scenes)]
-    holdout = [make_scene(999_000 + s, size) for s in range(12)]
+    # 1/3 scan-like low-contrast scenes (real scans segment on shading)
+    scenes = [make_scene(1000 + s, size, scan_like=(s % 3 == 2))
+              for s in range(n_scenes)]
+    holdout = [make_scene(999_000 + s, size, scan_like=(s % 3 == 2))
+               for s in range(12)]
 
     model = MaskUNet()
     key = jax.random.PRNGKey(seed)
