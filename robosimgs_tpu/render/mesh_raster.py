@@ -30,6 +30,84 @@ class MeshRasterConfig:
     max_tiles_per_tri: int = 128
     tile_capacity: int = 512
     near: float = 0.01
+    # clip triangles straddling the near plane into <=2 sub-triangles
+    # (static shapes: every face gets two output slots, the second
+    # degenerate unless clipping splits a quad). Off = drop straddling
+    # triangles whole and count them (the pre-round-2 behavior).
+    clip_near: bool = True
+
+
+def _clip_near_plane(tri, attr, near: float):
+    """Clip camera-space triangles against z = near.
+
+    tri (F, 3, 3) camera-space vertices; attr (F, 3, C) per-vertex
+    attributes interpolated at clip points. Returns (tri2 (2F, 3, 3),
+    attr2 (2F, 3, C), valid (2F,) bool, src (2F,) int32 original face).
+
+    Canonicalized by cyclic rotation (winding-preserving): one-in-front
+    clips to a single triangle, two-in-front to a quad = two triangles;
+    fully-behind faces come back invalid.
+    """
+    F = tri.shape[0]
+    eps = 1e-4
+    znear = near * (1.0 + eps)   # strictly in front of the cull test
+    d = tri[:, :, 2] - znear     # (F, 3)
+    front = d > 0.0
+    k = front.sum(-1)            # in-front count per face
+
+    # rotate so: k==1 -> the front vertex at slot 0; k==2 -> the behind
+    # vertex at slot 2 (cyclic rotation preserves winding)
+    i_front = jnp.argmax(front, axis=-1).astype(jnp.int32)
+    i_back = jnp.argmax(~front, axis=-1).astype(jnp.int32)
+    r = jnp.where(k == 1, i_front,
+                  jnp.where(k == 2, (i_back + 1) % 3, 0))
+    idx = (jnp.arange(3, dtype=jnp.int32)[None, :] + r[:, None]) % 3
+    tri_c = jnp.take_along_axis(tri, idx[:, :, None], axis=1)
+    attr_c = jnp.take_along_axis(attr, idx[:, :, None], axis=1)
+    d_c = jnp.take_along_axis(d, idx, axis=1)
+
+    def lerp(p, q, dp, dq):
+        # crossing param; denom > 0 on real crossings, guarded for the
+        # degenerate slots that the valid mask discards anyway
+        den = dp - dq
+        den = jnp.where(jnp.abs(den) < 1e-20, 1.0, den)
+        s = (dp / den)[:, None]
+        return p + (q - p) * s
+
+    a, b, c = tri_c[:, 0], tri_c[:, 1], tri_c[:, 2]
+    aa, ab, ac = attr_c[:, 0], attr_c[:, 1], attr_c[:, 2]
+    da, db, dc = d_c[:, 0], d_c[:, 1], d_c[:, 2]
+
+    # k==1 (a front): clip edges ab, ac
+    p_ab = lerp(a, b, da, db)
+    p_ac = lerp(a, c, da, dc)
+    a_ab = lerp(aa, ab, da, db)
+    a_ac = lerp(aa, ac, da, dc)
+    # k==2 (c behind): clip edges bc, ac
+    p_bc = lerp(b, c, db, dc)
+    a_bc = lerp(ab, ac, db, dc)
+
+    k2 = (k == 2)[:, None, None]
+    k3 = (k == 3)[:, None, None]
+
+    tri1 = jnp.where(k3, tri_c,
+                     jnp.where(k2, jnp.stack([a, b, p_bc], axis=1),
+                               jnp.stack([a, p_ab, p_ac], axis=1)))
+    at1 = jnp.where(k3, attr_c,
+                    jnp.where(k2, jnp.stack([aa, ab, a_bc], axis=1),
+                              jnp.stack([aa, a_ab, a_ac], axis=1)))
+    # second output slot: only the k==2 quad split needs it
+    tri2 = jnp.stack([a, p_bc, p_ac], axis=1)
+    at2 = jnp.stack([aa, a_bc, a_ac], axis=1)
+
+    v1 = k >= 1
+    v2 = k == 2
+    src = jnp.arange(F, dtype=jnp.int32)
+    tri_out = jnp.concatenate([tri1, tri2], axis=0)
+    attr_out = jnp.concatenate([at1, at2], axis=0)
+    valid = jnp.concatenate([v1, v2], axis=0)
+    src_out = jnp.concatenate([src, src], axis=0)
+    return tri_out, attr_out, valid, src_out
 
 
 def rasterize_mesh(
@@ -50,39 +128,46 @@ def rasterize_mesh(
 
     w2c = camera.w2c
     t = vertices @ w2c[:3, :3].T + w2c[:3, 3]
-    z = t[:, 2]
-    z_safe = jnp.where(z > cfg.near, z, 1.0)
-    u = camera.fx * t[:, 0] / z_safe + camera.cx - 0.5
-    v = camera.fy * t[:, 1] / z_safe + camera.cy - 0.5
-    inv_z = jnp.where(z > cfg.near, 1.0 / z_safe, 0.0)
 
     f = faces
-    tri_uv = jnp.stack([jnp.stack([u[f[:, i]], v[f[:, i]]], -1) for i in range(3)], 1)  # (F,3,2)
-    tri_invz = jnp.stack([inv_z[f[:, i]] for i in range(3)], 1)                          # (F,3)
-    tri_z = jnp.stack([z[f[:, i]] for i in range(3)], 1)
-    tri_infront = (tri_z > cfg.near).all(1)
-    # Limitation (documented, counted — ADVICE.md r1): triangles that
-    # STRADDLE the near plane are dropped whole rather than clipped
-    # (behind-camera vertices project to meaningless uv, so keeping them
-    # un-clipped would smear geometry across the screen). The count is
-    # surfaced as `near_dropped` so close-up rollout views can detect
-    # silently vanishing surfaces.
-    near_straddle = (tri_z > cfg.near).any(1) & ~tri_infront
-
+    tri_cam = t[f]                                   # (F, 3, 3) camera space
     if face_colors is None:
         if vertex_colors is None:
             vertex_colors = jnp.full_like(vertices, 0.7)
-        tri_col = jnp.stack([vertex_colors[f[:, i]] for i in range(3)], 1)   # (F,3,3)
+        tri_col = vertex_colors[f]                   # (F, 3, 3)
     else:
         tri_col = jnp.broadcast_to(face_colors[:, None, :], (f.shape[0], 3, 3))
+
+    tri_z_orig = tri_cam[:, :, 2]
+    near_straddle = ((tri_z_orig > cfg.near).any(1)
+                     & ~(tri_z_orig > cfg.near).all(1))
+    src_valid = (jnp.ones((f.shape[0],), bool) if face_valid is None
+                 else face_valid)
+
+    if cfg.clip_near:
+        # clip straddling triangles against z = near into <=2 pieces
+        # (static 2F buffer; slot 2 is degenerate except for quad splits)
+        tri_cam, tri_col, clip_valid, src = _clip_near_plane(
+            tri_cam, tri_col, cfg.near)
+        face_ok = clip_valid & src_valid[src]
+        fid_src = src
+    else:
+        face_ok = (tri_z_orig > cfg.near).all(1) & src_valid
+        fid_src = jnp.arange(f.shape[0], dtype=jnp.int32)
+
+    z = tri_cam[:, :, 2]
+    z_safe = jnp.where(z > 0.5 * cfg.near, z, 1.0)
+    tri_uv = jnp.stack([
+        camera.fx * tri_cam[:, :, 0] / z_safe + camera.cx - 0.5,
+        camera.fy * tri_cam[:, :, 1] / z_safe + camera.cy - 0.5,
+    ], axis=-1)                                      # (F', 3, 2)
+    tri_invz = jnp.where(z > 0.5 * cfg.near, 1.0 / z_safe, 0.0)  # (F', 3)
 
     # signed twice-area in screen space; degenerate triangles dropped
     e1 = tri_uv[:, 1] - tri_uv[:, 0]
     e2 = tri_uv[:, 2] - tri_uv[:, 0]
     area = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
-    valid = tri_infront & (jnp.abs(area) > 1e-12)
-    if face_valid is not None:
-        valid = valid & face_valid
+    valid = face_ok & (z > 0.5 * cfg.near).all(1) & (jnp.abs(area) > 1e-12)
 
     # tile bbox
     minu = jnp.min(tri_uv[:, :, 0], 1)
@@ -97,7 +182,7 @@ def rasterize_mesh(
     ty1 = jnp.clip(jnp.floor(maxv / ts), 0, tiles_y - 1).astype(jnp.int32)
     tx1 = jnp.where(valid, tx1, tx0 - 1)  # empty bbox for invalid
 
-    rank = jnp.arange(f.shape[0], dtype=jnp.int32)  # z-buffer: order irrelevant
+    rank = jnp.arange(tri_uv.shape[0], dtype=jnp.int32)  # z-buffer: order irrelevant
     sel, counts, stats = bin_rects(tx0, ty0, tx1, ty1, rank, valid,
                                    tiles_x, tiles_y, cfg.max_tiles_per_tri,
                                    cfg.tile_capacity)
@@ -108,7 +193,7 @@ def rasterize_mesh(
     g_col = tri_col[sel]      # (T, K, 3, 3)
     g_area = area[sel]        # (T, K)
     g_fid = jnp.where(
-        jnp.arange(K)[None, :] < counts[:, None], sel, -1)
+        jnp.arange(K)[None, :] < counts[:, None], fid_src[sel], -1)
 
     def one_tile(args):
         t_idx, uvk, invzk, colk, areak, fidk, count = args
@@ -179,5 +264,10 @@ def rasterize_mesh(
         "mask": mask,
         "face_id": jnp.where(mask, img[..., 5].astype(jnp.int32), -1),
         "stats": stats,
-        "near_dropped": jnp.sum(near_straddle).astype(jnp.int32),
+        # with clip_near these are CLIPPED (kept), not dropped; the
+        # count remains surfaced for the legacy drop mode
+        "near_dropped": (jnp.asarray(0, jnp.int32) if cfg.clip_near
+                         else jnp.sum(near_straddle).astype(jnp.int32)),
+        "near_clipped": (jnp.sum(near_straddle).astype(jnp.int32)
+                         if cfg.clip_near else jnp.asarray(0, jnp.int32)),
     }

@@ -128,3 +128,46 @@ def test_mesh_raster_grad_vertices():
 
     gr = jax.grad(loss)(v)
     assert np.isfinite(np.asarray(gr)).all()
+
+
+def test_near_plane_clipping():
+    """Triangles straddling the near plane are clipped into sub-
+    triangles (clip_near=True, default) instead of dropped whole — the
+    close-up surface must not vanish face-by-face (ADVICE r1)."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_scenegen import box_mesh
+
+    mesh = box_mesh((0.6, 0.6, 0.25))
+    colors = np.tile(np.array([[0.8, 0.4, 0.2]], np.float32),
+                     (len(mesh.vertices), 1))
+    cam = Camera.look_at([0.65, 0.0, 0.1], [-1.0, 0, 0.0], [0, 0, 1],
+                         70.0, 96, 96)
+    cfg_clip = MeshRasterConfig(tile_capacity=256, near=0.05)
+    cfg_drop = dataclasses.replace(cfg_clip, clip_near=False)
+    out_c = rasterize_mesh(jnp.asarray(mesh.vertices),
+                           jnp.asarray(mesh.faces), cam,
+                           vertex_colors=jnp.asarray(colors), cfg=cfg_clip)
+    out_d = rasterize_mesh(jnp.asarray(mesh.vertices),
+                           jnp.asarray(mesh.faces), cam,
+                           vertex_colors=jnp.asarray(colors), cfg=cfg_drop)
+    m_c = np.asarray(out_c["mask"])
+    m_d = np.asarray(out_d["mask"])
+    assert int(out_c["near_clipped"]) > 0
+    assert int(out_d["near_dropped"]) > 0
+    # clipping strictly recovers coverage the drop mode lost
+    assert m_c.sum() > m_d.sum() * 1.5
+    assert (m_c | m_d).sum() == m_c.sum()   # superset
+    # clipped geometry reaches the near plane (drop mode starts much
+    # deeper — the close faces vanished)
+    d_c = np.asarray(out_c["depth"])[m_c]
+    assert d_c.min() < 0.06
+    # where both hit the SAME face, colors and depths agree
+    both = m_c & m_d
+    same = (np.asarray(out_c["face_id"]) == np.asarray(out_d["face_id"])) & both
+    assert same.sum() > 100
+    np.testing.assert_allclose(np.asarray(out_c["rgb"])[same],
+                               np.asarray(out_d["rgb"])[same], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_c["depth"])[same],
+                               np.asarray(out_d["depth"])[same], rtol=1e-5)
