@@ -26,6 +26,10 @@ def build_parser():
     p.add_argument("--n-cameras", type=int, default=4)
     p.add_argument("--output", required=True, help="output dir (png frames)")
     p.add_argument("--impl", default="auto")
+    p.add_argument("--shard-cameras", action="store_true",
+                   help="shard cameras over the 'data' mesh axis "
+                        "(multi-chip rollout rendering; the BASELINE "
+                        "config-4 scaling workload)")
     return p
 
 
@@ -76,8 +80,21 @@ def main(argv=None):
     else:
         traj = np.zeros((args.steps, 0), np.float32)
 
+    camera_mesh = None
+    if args.shard_cameras:
+        import jax
+
+        from robosimgs_tpu.parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        n_data = min(n_dev, len(cams))
+        while len(cams) % n_data:
+            n_data -= 1             # camera count must tile the axis
+        camera_mesh = make_mesh(n_data, 1)
+        print(f"sharding {len(cams)} cameras over {n_data} devices")
+
     frames = render_rollout(background, objects, traj, cams, impl=args.impl,
-                            base_poses=base_poses, as_uint8=True)
+                            base_poses=base_poses, as_uint8=True,
+                            camera_mesh=camera_mesh)
     os.makedirs(args.output, exist_ok=True)
     T, C = frames.shape[:2]
     for t in range(T):
