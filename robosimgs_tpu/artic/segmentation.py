@@ -233,9 +233,23 @@ class Segmenter:
                      marker_uv: Optional[Tuple[float, float]] = None,
                      chosen_index: Optional[int] = None) -> np.ndarray:
         """Generate candidate masks, rank, pick (scripted index, marker
-        containment, scorer rank, or MLLM), dilate."""
+        containment, scorer rank, or MLLM), dilate.
+
+        With no mask_generator configured, the checked-in learned model
+        (artic/masknet) is loaded on first use — the counterpart of the
+        reference segmenter shipping with SAM by default
+        (interactive_segmenter.py:140-151)."""
         if self.mask_generator is None:
-            raise ValueError("no mask generator backend configured")
+            import os
+
+            from robosimgs_tpu.artic.masknet import (DEFAULT_WEIGHTS,
+                                                     MaskNetGenerator)
+            if not os.path.exists(DEFAULT_WEIGHTS):
+                raise ValueError(
+                    "no mask generator backend configured and no masknet "
+                    "weights found — pass mask_generator= or run "
+                    "scripts/train_masknet.py")
+            self.mask_generator = MaskNetGenerator()
         candidates = self.mask_generator.generate(image)
         hw = image.shape[0] * image.shape[1]
         candidates = [m for m in candidates
