@@ -39,6 +39,21 @@ def build_parser():
         "OPENAI_GPT_MODEL", "gpt-4-turbo"))
     p.add_argument("--skip-segmentation", action="store_true",
                    help="reuse part_*.glb from a previous run")
+    # pre-segmented parts (the reference's --lid/--body,
+    # articulation_inference.py:52-53): skip segmentation entirely
+    p.add_argument("--lid", help="pre-segmented movable-part mesh")
+    p.add_argument("--body", help="pre-segmented base-part mesh")
+    # URDF parameter overrides (articulation_inference.py:68-82);
+    # unset values keep the reference defaults / MLLM recommendations
+    p.add_argument("--robot-name", default="articulated_object")
+    p.add_argument("--object-type", default=None,
+                   help="e.g. box/door/laptop (metadata + MLLM hint)")
+    p.add_argument("--limit-lower", type=float, default=None)
+    p.add_argument("--limit-upper", type=float, default=None)
+    p.add_argument("--effort", type=float, default=None)
+    p.add_argument("--velocity", type=float, default=None)
+    p.add_argument("--friction", type=float, default=None)
+    p.add_argument("--damping", type=float, default=None)
     return p
 
 
@@ -63,7 +78,13 @@ def main(argv=None):
     print(f"loaded {args.input}: {mesh.vertices.shape[0]} verts, "
           f"{mesh.faces.shape[0]} faces")
 
-    if args.skip_segmentation:
+    if args.lid and args.body:
+        # pre-segmented parts skip segmentation entirely (the
+        # reference's --lid/--body path)
+        names = args.part_names or ["lid", "body"]
+        parts = {"RED": load_mesh(args.lid), "GREEN": load_mesh(args.body)}
+        prompts = {"RED": names[0], "GREEN": names[1]}
+    elif args.skip_segmentation:
         parts = {}
         for f in os.listdir(cfg.segmentation_dir):
             if f.startswith("part_") and f.endswith(".glb"):
@@ -134,8 +155,26 @@ def main(argv=None):
     print(f"movable part: {prompts[movable_key]!r} ({movable_key}); "
           f"base: {prompts[base_key]!r} ({base_key})")
 
-    pipe = ArticulationPipeline(parts[movable_key], parts[base_key], mllm=mllm)
-    meta = pipe.generate(cfg.urdf_dir,
+    pipe = ArticulationPipeline(parts[movable_key], parts[base_key],
+                                mllm=mllm, robot_name=args.robot_name)
+    # URDF parameter overrides: start from MLLM recommendations (or
+    # reference defaults) and apply any explicit flags on top
+    params = None
+    overrides = {k: getattr(args, a) for k, a in [
+        ("lower", "limit_lower"), ("upper", "limit_upper"),
+        ("effort", "effort"), ("velocity", "velocity"),
+        ("friction", "friction"), ("damping", "damping"),
+        ("object_type", "object_type")] if getattr(args, a) is not None}
+    if overrides:
+        import dataclasses
+
+        from robosimgs_tpu.artic.pipeline import URDFParams
+        base_params = (pipe.recommend_params(None,
+                                             prompts[movable_key],
+                                             prompts[base_key])
+                       if mllm is not None else URDFParams())
+        params = dataclasses.replace(base_params, **overrides)
+    meta = pipe.generate(cfg.urdf_dir, params=params,
                          movable_name=prompts[movable_key].split()[-1],
                          base_name=prompts[base_key].split()[-1])
     print(f"URDF written: {meta['urdf_path']}")
