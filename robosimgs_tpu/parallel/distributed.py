@@ -231,13 +231,9 @@ def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
                 out = ring_render_rows(masked, g.alive, offset, camera,
                                        tile_rank, n_tile, cfg.render, bg,
                                        "data", n_shard)
-                # densify stats (radii/valid of the local shard) are
-                # non-differentiable side outputs; recompute the local
-                # projection outside the ring's custom_vjp.
-                sg = jax.lax.stop_gradient
-                proj_local = project(
-                    g.replace(**jax.tree_util.tree_map(sg, masked)),
-                    crop, cfg.render, tan_half_fov=camera.tan_half_fov)
+                # densify stats (radii/valid of the local shard) ride the
+                # ring's hop-0 side channel — no extra projection.
+                proj_radii, proj_valid = out["radii"], out["valid"]
             else:
                 p = g.replace(**masked)
                 proj_local = project(p, crop, cfg.render,
@@ -252,10 +248,10 @@ def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
                 else:
                     out = composite_tiled(proj, crop.width, rows,
                                           cfg.render, bg)
+                proj_radii, proj_valid = proj_local.radii, proj_local.valid
             rgb_full = jax.lax.all_gather(out["rgb"], "tile", axis=0, tiled=True)
             loss = photometric_loss(rgb_full, target, cfg.ssim_lambda)
-            return loss, (psnr(rgb_full, target), proj_local.radii,
-                          proj_local.valid)
+            return loss, (psnr(rgb_full, target), proj_radii, proj_valid)
 
         params = float_params(g)
         offset = jnp.zeros((g.capacity, 2), jnp.float32)

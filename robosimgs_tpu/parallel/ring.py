@@ -67,7 +67,7 @@ def _chunk_tiles(params: Dict[str, jax.Array], alive: jax.Array,
     """Project + bin one visiting chunk for this rank's row strip.
 
     Returns (payload (T,16,K), keys (T,K) depth, gids (T,K) global id,
-    counts (T,), stats)."""
+    counts (T,), stats, (radii, valid) densify side-channel)."""
     crop, thf = cam
     p = Gaussians(**params, alive=alive)
     proj = project(p, crop, cfg, means2d_offset=offset, tan_half_fov=thf)
@@ -78,7 +78,7 @@ def _chunk_tiles(params: Dict[str, jax.Array], alive: jax.Array,
     keys = jnp.where(kmask, geom[:, 6, :], jnp.inf)          # sg(depth) row
     gids = jnp.where(kmask, gid0 + sel, _BIG_GID)
     payload = jnp.concatenate([geom, feat], axis=1)          # (T, 16, K)
-    return payload, keys, gids, counts, stats
+    return payload, keys, gids, counts, stats, (proj.radii, proj.valid)
 
 
 def _merge_topk(keys_a, gids_a, pay_a, keys_b, gids_b, pay_b, K: int):
@@ -114,8 +114,13 @@ def ring_bin_gather(params: Dict[str, jax.Array], alive: jax.Array,
     as produced by `float_params`, (nc,) bool, (nc, 2)); cam is
     (crop Camera, full-frame tan_half_fov) for THIS tile rank — traced
     leaves, passed as a differentiable arg with zero cotangents.
-    Returns (geom (T,8,K), feat (T,8,K), counts (T,), stats) identical
-    to `bin_and_gather_packed` run on the all-gathered projection.
+    Returns (geom (T,8,K), feat (T,8,K), counts (T,), stats, radii,
+    valid) where (geom, feat, counts, stats) are identical to
+    `bin_and_gather_packed` run on the all-gathered projection, and
+    (radii (nc,), valid (nc,)) are the LOCAL shard's projected radii /
+    frustum-validity from its hop-0 visit — the densify-statistics
+    side channel (non-differentiable: the backward drops their
+    cotangents), saving callers an extra O(N/shard) projection.
     """
     out, _ = _ring_fwd_impl(params, alive, offset, cam, width, rows, cfg,
                             axis_name, n_shard)
@@ -135,7 +140,7 @@ def _ring_fwd_impl(params, alive, offset, cam, width, rows, cfg,
                             cfg)
 
     chunk = (params, alive, offset)
-    pay, keys, gids, counts0, st0 = visit(chunk, 0)
+    pay, keys, gids, counts0, st0, (radii0, valid0) = visit(chunk, 0)
     csum = counts0
     acc = (st0.truncated_gaussians, st0.overflowed_tiles,
            st0.max_tile_count, st0.total_pairs)
@@ -143,7 +148,7 @@ def _ring_fwd_impl(params, alive, offset, cam, width, rows, cfg,
     def body(h, carry):
         chunk, keys, gids, pay, csum, acc = carry
         chunk = _rotate(chunk, axis_name, n_shard)
-        pay_c, keys_c, gids_c, counts_c, st_c = visit(chunk, h)
+        pay_c, keys_c, gids_c, counts_c, st_c, _rv = visit(chunk, h)
         keys, gids, pay = _merge_topk(keys, gids, pay,
                                       keys_c, gids_c, pay_c, K)
         csum = csum + counts_c
@@ -164,7 +169,7 @@ def _ring_fwd_impl(params, alive, offset, cam, width, rows, cfg,
         total_pairs=acc[3])
     geom = pay[:, :8]
     feat = pay[:, 8:]
-    return (geom, feat, counts, stats), gids
+    return (geom, feat, counts, stats, radii0, valid0), gids
 
 
 def _ring_fwd(params, alive, offset, cam, width, rows, cfg, axis_name,
@@ -177,7 +182,7 @@ def _ring_fwd(params, alive, offset, cam, width, rows, cfg, axis_name,
 
 def _ring_bwd(width, rows, cfg, axis_name, n_shard, res, cts):
     params, alive, offset, cam, gids, counts = res
-    d_geom, d_feat, _d_counts, _d_stats = cts
+    d_geom, d_feat, _d_counts, _d_stats, _d_radii, _d_valid = cts
     K = cfg.tile_capacity
     nc = alive.shape[0]
     shard = jax.lax.axis_index(axis_name)
@@ -233,16 +238,20 @@ def ring_render_rows(params: Dict[str, jax.Array], alive: jax.Array,
                      compositor: str = "pallas") -> Dict[str, jax.Array]:
     """Render this tile rank's row strip against the full ring-streamed
     Gaussian set. Convenience wrapper: crop camera + ring_bin_gather +
-    composite_from_tiles."""
+    composite_from_tiles. Besides the image outputs, the dict carries
+    the local shard's hop-0 "radii"/"valid" (densify side channel,
+    non-differentiable — see ring_bin_gather)."""
     import dataclasses
 
     rows = camera.height // n_tile
     crop = dataclasses.replace(camera, cy=camera.cy - tile_rank * rows,
                                height=rows)
-    geom, feat, counts, stats = ring_bin_gather(
+    geom, feat, counts, stats, radii, valid = ring_bin_gather(
         params, alive, offset, (crop, camera.tan_half_fov),
         camera.width, rows, cfg, axis_name, n_shard)
     out = composite_from_tiles(geom, feat, counts, camera.width, rows, cfg,
                                background, compositor=compositor)
     out["stats"] = stats
+    out["radii"] = jax.lax.stop_gradient(radii)
+    out["valid"] = jax.lax.stop_gradient(valid)
     return out

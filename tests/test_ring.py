@@ -39,10 +39,10 @@ def _ring_fn(mesh, cam, cfg, n_shard, n_tile):
         tile_rank = jax.lax.axis_index("tile")
         crop = dataclasses.replace(cam, cy=cam.cy - tile_rank * rows,
                                    height=rows)
-        geom, feat, counts, _stats = ring_bin_gather(
+        geom, feat, counts, _stats, radii, valid = ring_bin_gather(
             params, alive, offset, (crop, cam.tan_half_fov),
             cam.width, rows, cfg, "data", n_shard)
-        return geom, feat, counts
+        return geom, feat, counts, radii, valid
 
     pspec = {k: P("data") for k in
              ["means", "quats", "log_scales", "logit_opacities",
@@ -50,7 +50,8 @@ def _ring_fn(mesh, cam, cfg, n_shard, n_tile):
     return jax.jit(jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(pspec, P("data"), P("data")),
-        out_specs=(P("tile"), P("tile"), P("tile")),
+        out_specs=(P("tile"), P("tile"), P("tile"),
+                   P(("tile", "data")), P(("tile", "data"))),
         check_vma=False))
 
 
@@ -65,22 +66,30 @@ def test_ring_bin_gather_matches_full_binning():
     offset = jnp.zeros((g.capacity, 2), jnp.float32)
 
     fn = _ring_fn(mesh, cam, cfg, n_shard, n_tile)
-    geom_r, feat_r, counts_r = fn(params, g.alive, offset)
+    geom_r, feat_r, counts_r, radii_r, valid_r = fn(params, g.alive, offset)
 
     # reference: bin the FULL set per tile strip
     rows = cam.height // n_tile
-    geoms, feats, counts = [], [], []
+    geoms, feats, counts, radiis, valids = [], [], [], [], []
     for r in range(n_tile):
         crop = dataclasses.replace(cam, cy=cam.cy - r * rows, height=rows)
         proj = project(g, crop, cfg, means2d_offset=offset,
                        tan_half_fov=cam.tan_half_fov)
         ge, fe, ct, st = bin_and_gather_packed(proj, cam.width, rows, cfg)
         geoms.append(ge); feats.append(fe); counts.append(ct)
+        radiis.append(proj.radii); valids.append(proj.valid)
     geom_f = jnp.concatenate(geoms)
     feat_f = jnp.concatenate(feats)
     counts_f = jnp.concatenate(counts)
 
     np.testing.assert_array_equal(np.asarray(counts_r), np.asarray(counts_f))
+    # the hop-0 densify side channel equals a direct local projection
+    # (tile-major, data-minor layout matches concat of full projections)
+    np.testing.assert_allclose(np.asarray(radii_r),
+                               np.asarray(jnp.concatenate(radiis)),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid_r),
+                                  np.asarray(jnp.concatenate(valids)))
     # compare only the valid (within-count) slots: padding slots are
     # inert (opacity 0) but may hold different residual rows. Chunked
     # vs full-set projection compiles to different shapes, so XLA's
