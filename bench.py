@@ -190,9 +190,14 @@ def _staged(err, pet):
     from robosimgs_tpu.train.losses import photometric_loss
     from robosimgs_tpu.train.optim import float_params, make_optimizer
 
-    # config 3: 1M Gaussians, 512x512 full train step
+    # config 3: 1M Gaussians, 512x512 full train step.
+    # Program-key perturbation: inherit the caller's N AND the retry
+    # attempt (tpu_run.sh TPU_RUN_ATTEMPT) — without the latter, a retry
+    # resubmits the exact poisoned program and wedges again (seen 3/3 on
+    # the rollout-frame compile).
+    attempt = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
     res = 512
-    n1m = 1_000_000 + (N_GAUSSIANS % 1000)   # inherit program-key perturb
+    n1m = 1_000_000 + (N_GAUSSIANS % 1000) + attempt
     cfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
                        max_tiles_per_gaussian=8)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0,
@@ -236,7 +241,7 @@ def _staged(err, pet):
     del params, opt_state, g
 
     # config 4: 4-camera 640x480 rollout render @200k
-    n200 = 200_000 + (N_GAUSSIANS % 1000)
+    n200 = 200_000 + (N_GAUSSIANS % 1000) + attempt
     g2 = Gaussians.random(jax.random.PRNGKey(2), n200, sh_degree=2,
                           extent=1.5)
     cams = [Camera.look_at([3.0 + 0.1 * i, 0.4, 1.0], [0, 0, 0],

@@ -31,6 +31,11 @@ class Frame:
     # lens distortion (k1, k2, p1, p2) of the CAPTURED image; applied
     # (i.e. removed) at load time so `camera` is a true pinhole
     distortion: Optional[np.ndarray] = None
+    # optional metric planar z-depth (H, W) float32, 0 = invalid — the
+    # supervision target for TrainConfig.depth_lambda. Nerfstudio's
+    # depth_file_path (.npy/.npy.gz/16-bit-mm PNG) or synthetic GT.
+    depth_path: Optional[str] = None
+    depth: Optional[np.ndarray] = None
 
     def load(self, background: Sequence[float] = (0.0, 0.0, 0.0)) -> np.ndarray:
         if self.image is not None:
@@ -63,6 +68,39 @@ class Frame:
         self.image = arr
         return self.image
 
+    def load_depth(self) -> Optional[np.ndarray]:
+        """(H, W) float32 planar z-depth at the camera's resolution,
+        0.0 on invalid pixels; None when the frame carries no depth."""
+        if self.depth is None and self.depth_path is None:
+            return None
+        if self.depth is None:
+            p = self.depth_path
+            if p.endswith(".npy.gz"):
+                from robosimgs_tpu.utils.nerfstudio import load_depth_npy_gz
+
+                d = load_depth_npy_gz(p)
+            elif p.endswith(".npy"):
+                d = np.load(p)
+            else:
+                from PIL import Image
+
+                im = Image.open(p)
+                d = np.asarray(im).astype(np.float32)
+                if im.mode in ("I", "I;16"):
+                    d = d * 1e-3  # integer PNGs are millimeters (ns export)
+            self.depth = np.nan_to_num(
+                np.squeeze(d).astype(np.float32), nan=0.0, posinf=0.0)
+        d = self.depth
+        H, W = self.camera.height, self.camera.width
+        if d.shape != (H, W):
+            from PIL import Image
+
+            # nearest: interpolating across a depth edge invents surface
+            d = np.asarray(Image.fromarray(d, mode="F").resize(
+                (W, H), Image.NEAREST), np.float32)
+            self.depth = d
+        return d
+
 
 def parse_transforms_json(path: str, downscale: int = 1) -> List[Frame]:
     """Parse a Nerfstudio/instant-ngp transforms.json into Frames."""
@@ -87,7 +125,11 @@ def parse_transforms_json(path: str, downscale: int = 1) -> List[Frame]:
             img_path = os.path.join(root, img_path)
             if not os.path.splitext(img_path)[1]:
                 img_path += ".png"
-        frames.append(Frame(camera=cam, image_path=img_path))
+        depth_path = fr.get("depth_file_path")
+        if depth_path is not None:
+            depth_path = os.path.join(root, depth_path)
+        frames.append(Frame(camera=cam, image_path=img_path,
+                            depth_path=depth_path))
     return frames
 
 
@@ -134,6 +176,7 @@ def synthetic_mesh_scene(
     width: int,
     height: int,
     camera_distance: float = 3.0,
+    with_depth: bool = False,
 ) -> Tuple["object", List[Frame]]:
     """A structured reconstruction target: a colorful multi-box scene
     rendered with the mesh rasterizer from a camera ring. Unlike
@@ -182,7 +225,13 @@ def synthetic_mesh_scene(
                              cfg=mcfg)
         img = np.where(np.asarray(out["mask"])[..., None],
                        np.asarray(out["rgb"]), 1.0).astype(np.float32)
-        frames.append(Frame(camera=cam, image=img))
+        dep = None
+        if with_depth:
+            # GT supervision target: mesh z-buffer where covered, 0
+            # (= invalid) on background pixels
+            dep = np.where(np.asarray(out["mask"]),
+                           np.asarray(out["depth"]), 0.0).astype(np.float32)
+        frames.append(Frame(camera=cam, image=img, depth=dep))
     return scene, frames
 
 

@@ -95,6 +95,15 @@ class TrainConfig:
     # Training PSNR is reported post-correction; eval_psnr stays raw.
     exposure: bool = False
     exposure_lr: float = 1.0e-3
+    # depth supervision — L1 between the alpha-normalized expected splat
+    # depth and a metric target depth map (Frame.depth /
+    # transforms.json depth_file_path), on pixels where the target is
+    # valid (>0) AND the splats actually cover the pixel (alpha gate —
+    # free space would otherwise drag means toward the background).
+    # The role of splatfacto's depth regularizer / the reference
+    # pipeline's depth data (nerf2physic depth maps, SURVEY.md §2.1 #14).
+    depth_lambda: float = 0.0
+    depth_alpha_gate: float = 0.25
     # target residency: None = auto (host-resident when the target set
     # exceeds host_data_threshold bytes, else all uploaded once).
     # Host-resident mode streams each step's target with an async
@@ -161,7 +170,8 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, camera: Camera, target: jax.Array,
-                   frame_idx: jax.Array = jnp.int32(0)):
+                   frame_idx: jax.Array = jnp.int32(0),
+                   target_depth: Optional[jax.Array] = None):
         g = state.gaussians
         mask = _sh_mask(state.step, cfg.sh_warmup_every, g.sh_rest.shape[1])
         offset = jnp.zeros((g.capacity, 2), jnp.float32)
@@ -178,6 +188,18 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
                 e = params["exposure"][frame_idx]            # (3, 4)
                 rgb = jnp.clip(rgb @ e[:, :3].T + e[:, 3], 0.0, None)
             loss = photometric_loss(rgb, target, cfg.ssim_lambda)
+            if cfg.depth_lambda > 0.0:
+                if target_depth is None:
+                    raise ValueError("depth_lambda > 0 needs per-frame "
+                                     "target depth (Frame.depth or "
+                                     "transforms.json depth_file_path)")
+                a = out["alpha"]
+                d = out["depth"] / jnp.maximum(a, 1e-6)
+                dv = ((target_depth > 0.0)
+                      & (jax.lax.stop_gradient(a) > cfg.depth_alpha_gate))
+                n_dv = jnp.maximum(jnp.sum(dv), 1)
+                loss = loss + cfg.depth_lambda * jnp.sum(
+                    jnp.where(dv, jnp.abs(d - target_depth), 0.0)) / n_dv
             if cfg.scale_reg_lambda > 0.0:
                 ls = params["log_scales"]
                 ratio = jnp.exp(jnp.max(ls, -1) - jnp.min(ls, -1))
@@ -298,16 +320,29 @@ class Trainer:
         # track the step python-side — forcing int(state.step) would
         # sync the device every iteration
         targets_np = self.targets()
+        depths_np = None
+        if cfg.depth_lambda > 0.0:
+            depths_np = [f.load_depth() for f in self.frames]
+            if any(d is None for d in depths_np):
+                raise ValueError("depth_lambda > 0 but some frames carry "
+                                 "no depth (Frame.depth / depth_path)")
+            depths_np = [np.asarray(d) for d in depths_np]
         total_bytes = sum(t.nbytes for t in targets_np)
         host = (cfg.host_data if cfg.host_data is not None
                 else total_bytes > cfg.host_data_threshold)
+
+        def frame_data(i):
+            return (targets_np[i], None if depths_np is None
+                    else depths_np[i])
+
         if host:
             targets = None
             # one-step-ahead async upload pipeline
             step0 = int(self.state.step)
-            pending = jax.device_put(targets_np[step0 % len(self.frames)])
+            pending = jax.device_put(frame_data(step0 % len(self.frames)))
         else:
-            targets = [jnp.asarray(t) for t in targets_np]
+            targets = [jax.device_put(frame_data(i))
+                       for i in range(len(self.frames))]
         step0 = int(self.state.step)
         t0 = time.time()
         for i in range(iters):
@@ -315,13 +350,13 @@ class Trainer:
             idx = step % len(self.frames)
             cam = self.frames[idx].camera
             if host:
-                target = pending
+                target, tdepth = pending
                 pending = jax.device_put(
-                    targets_np[(step + 1) % len(self.frames)])
+                    frame_data((step + 1) % len(self.frames)))
             else:
-                target = targets[idx]
+                target, tdepth = targets[idx]
             self.state, metrics = self._train_step(self.state, cam, target,
-                                                   jnp.int32(idx))
+                                                   jnp.int32(idx), tdepth)
 
             if (cfg.dynamic_pool and step > 0
                     and step % cfg.densify_interval == 0

@@ -18,7 +18,9 @@ jax.jit(lambda x: (x * 2).sum())(jnp.ones((16, 16))).block_until_ready()
 
 probe || echo "warning: TPU health probe failed" >&2
 for i in $(seq 1 "$RETRIES"); do
-  python -u "$JOB" "$@"
+  # wedges are PROGRAM-KEYED (CLAUDE.md): jobs fold TPU_RUN_ATTEMPT into
+  # their static shapes so a retry never resubmits the poisoned program
+  TPU_RUN_ATTEMPT="$i" python -u "$JOB" "$@"
   rc=$?
   if [ "$rc" -ne 17 ]; then exit "$rc"; fi
   echo "tpu_run: attempt $i wedged (exit 17); probing + retrying" >&2

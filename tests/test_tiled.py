@@ -392,3 +392,33 @@ def test_saturated_pixel_gradients_nonzero():
     assert float(jnp.linalg.norm(gp)) > 0.1
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_depth_gradient_parity():
+    """Depth supervision rides feature channel 3 through the custom_vjp:
+    gradients of a masked alpha-normalized depth L1 through the Pallas
+    path must match the reference compositor's autodiff (the contract
+    TrainConfig.depth_lambda relies on)."""
+    from robosimgs_tpu.render.reference import composite_reference
+
+    cam = make_camera(48, 32)
+    g = make_scene(60, seed=9)
+
+    ref0 = composite_reference(project(g, cam, CFG), 48, 32, CFG)
+    tgt = jax.lax.stop_gradient(
+        ref0["depth"] / jnp.maximum(ref0["alpha"], 1e-6))
+    valid = jax.lax.stop_gradient(ref0["alpha"]) > 0.25
+
+    def loss(means, f):
+        o = f(project(g.replace(means=means), cam, CFG))
+        d = o["depth"] / jnp.maximum(o["alpha"], 1e-6)
+        n = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(jnp.where(valid, jnp.abs(d - tgt + 0.05), 0.0)) / n
+
+    gp = jax.grad(loss)(g.means, lambda p: composite_tiled(
+        p, 48, 32, CFG, compositor="pallas"))
+    gr = jax.grad(loss)(g.means, lambda p: composite_reference(
+        p, 48, 32, CFG))
+    assert float(jnp.linalg.norm(gr)) > 1e-4  # the loss actually bites
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               atol=2e-5, rtol=2e-3)

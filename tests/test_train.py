@@ -375,3 +375,71 @@ def test_scale_regularizer_shrinks_needles():
         r = np.exp(ls.max(-1) - ls.min(-1))[alive]
         ratios[lam] = float(np.median(r))
     assert ratios[0.1] < 0.7 * ratios[0.0], ratios
+
+
+def test_depth_supervision_reduces_depth_error():
+    """TrainConfig.depth_lambda: L1 on alpha-normalized expected depth
+    against per-frame metric depth targets. Training with the term on
+    must drive the rendered depth toward the target (and still improve
+    PSNR) — the splatfacto-depth-regularizer role."""
+    # 2 views: depth is photometrically underdetermined — the setting
+    # where depth supervision earns its keep (with a dense camera ring
+    # multi-view photometric consistency alone pins depth)
+    gt, frames = synthetic_scene(seed=3, n_gaussians=40, n_cameras=2,
+                                 width=48, height=48, sh_degree=1)
+    rcfg = RenderConfig(ref_gaussian_chunk=64, tile_capacity=128)
+    for f in frames:
+        out = rasterize(gt, f.camera, rcfg, impl="reference")
+        f.image = np.asarray(out["rgb"])
+        a = np.asarray(out["alpha"])
+        d = np.asarray(out["depth"]) / np.maximum(a, 1e-6)
+        f.depth = np.where(a > 0.5, d, 0.0).astype(np.float32)
+
+    rng = np.random.default_rng(2)
+    init = Gaussians.from_points(
+        np.asarray(gt.means) + rng.normal(scale=0.05, size=(40, 3)).astype(np.float32),
+        colors=np.full((40, 3), 0.5, np.float32),
+        sh_degree=1, init_scale=np.full((40,), 0.05, np.float32))
+
+    def depth_err(g):
+        errs = []
+        for f in frames:
+            o = rasterize(g, f.camera, rcfg, impl="reference")
+            d = np.asarray(o["depth"]) / np.maximum(np.asarray(o["alpha"]), 1e-6)
+            m = f.depth > 0
+            errs.append(np.abs(d - f.depth)[m].mean())
+        return float(np.mean(errs))
+
+    res = {}
+    for lam in (0.0, 0.2):
+        cfg = TrainConfig(
+            iterations=120, render=rcfg, densify_from=10_000,
+            opacity_reset_interval=10_000, scene_extent=1.0,
+            impl="reference", log_every=40, depth_lambda=lam)
+        trainer = Trainer(cfg, init, frames)
+        err0 = depth_err(trainer.state.gaussians)
+        psnr0 = trainer.eval_psnr()
+        trainer.run(progress=False)
+        res[lam] = (depth_err(trainer.state.gaussians), trainer.eval_psnr())
+        assert res[lam][1] > psnr0 + 2.0, (lam, psnr0, res[lam])
+        assert res[lam][0] < err0, (lam, err0, res[lam])
+    # the supervised run's rendered depth is measurably closer to GT
+    # (measured: 0.059 vs 0.088 at these settings)
+    assert res[0.2][0] < 0.8 * res[0.0][0], res
+
+
+def test_depth_lambda_requires_depth():
+    import pytest
+
+    gt, frames = synthetic_scene(seed=0, n_gaussians=8, n_cameras=2,
+                                 width=32, height=32, sh_degree=1)
+    rcfg = RenderConfig(ref_gaussian_chunk=64, tile_capacity=128)
+    for f in frames:
+        f.image = np.asarray(rasterize(gt, f.camera, rcfg,
+                                       impl="reference")["rgb"])
+    cfg = TrainConfig(iterations=2, render=rcfg, impl="reference",
+                      densify_from=10_000, opacity_reset_interval=10_000,
+                      depth_lambda=0.1)
+    trainer = Trainer(cfg, gt, frames)
+    with pytest.raises(ValueError, match="depth"):
+        trainer.run(progress=False)
