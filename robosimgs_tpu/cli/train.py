@@ -51,6 +51,11 @@ def build_parser():
     p.add_argument("--exposure", action="store_true",
                    help="per-frame affine exposure correction "
                         "(auto-exposure captures)")
+    p.add_argument("--bilateral-grid", action="store_true",
+                   help="per-frame bilateral-grid color correction "
+                        "(splatfacto use_bilateral_grid: spatially-"
+                        "varying affine for vignetting / local white-"
+                        "balance drift)")
     return p
 
 
@@ -141,6 +146,7 @@ def main(argv=None):
         densify=densify,
         scale_reg_lambda=args.scale_reg,
         exposure=args.exposure,
+        bilateral_grid=args.bilateral_grid,
     )
 
     trainer = Trainer(cfg, init, train_frames, eval_frames)

@@ -54,12 +54,14 @@ def float_params(g: Gaussians) -> dict:
 
 
 def make_optimizer(cfg: OptimConfig = OptimConfig(), scene_extent: float = 1.0,
-                   exposure_lr: float | None = None):
+                   exposure_lr: float | None = None,
+                   bilagrid_lr: float | None = None):
     """Returns an optax GradientTransformation over float_params dicts.
 
-    exposure_lr: when set, the param dict additionally carries an
-    "exposure" entry (per-frame color affines, trainer.py) optimized
-    with its own Adam group."""
+    exposure_lr / bilagrid_lr: when set, the param dict additionally
+    carries an "exposure" (per-frame color affines) / "bilagrid"
+    (per-frame bilateral grids) entry (trainer.py), each optimized with
+    its own Adam group."""
     def adam(lr):
         return optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
 
@@ -75,6 +77,9 @@ def make_optimizer(cfg: OptimConfig = OptimConfig(), scene_extent: float = 1.0,
     if exposure_lr is not None:
         transforms["exposure"] = adam(exposure_lr)
         labels["exposure"] = "exposure"
+    if bilagrid_lr is not None:
+        transforms["bilagrid"] = adam(bilagrid_lr)
+        labels["bilagrid"] = "bilagrid"
     return optax.multi_transform(transforms, labels)
 
 

@@ -26,6 +26,8 @@ from robosimgs_tpu.render.project import project
 from robosimgs_tpu.render.rasterize import rasterize
 from robosimgs_tpu.render.reference import composite_reference
 from robosimgs_tpu.render.tiled import composite_tiled
+from robosimgs_tpu.train.bilagrid import (apply_bilagrid, identity_bilagrid,
+                                          tv_loss as bilagrid_tv_loss)
 from robosimgs_tpu.train.data import Frame
 from robosimgs_tpu.train.densify import (DensifyConfig, DensifyState,
                                          compact_and_resize,
@@ -95,6 +97,18 @@ class TrainConfig:
     # Training PSNR is reported post-correction; eval_psnr stays raw.
     exposure: bool = False
     exposure_lr: float = 1.0e-3
+    # bilateral-grid color correction (splatfacto use_bilateral_grid) —
+    # a per-frame (gh, gw, gl, 12) grid of 3x4 color affines sampled at
+    # (y, x, luminance): the spatially-VARYING generalization of
+    # `exposure` for vignetting / local white-balance drift. Applied
+    # after the per-frame affine when both are on; a total-variation
+    # penalty keeps unobserved grid cells smooth. See train/bilagrid.py
+    # for the gather-free TPU evaluation. Training PSNR is reported
+    # post-correction; eval_psnr stays raw (same policy as exposure).
+    bilateral_grid: bool = False
+    bilagrid_shape: tuple = (8, 8, 4)
+    bilagrid_lr: float = 2.0e-3
+    bilagrid_tv_lambda: float = 10.0
     # depth supervision — L1 between the alpha-normalized expected splat
     # depth and a metric target depth map (Frame.depth /
     # transforms.json depth_file_path), on pixels where the target is
@@ -126,6 +140,9 @@ class TrainState:
     # (n_frames, 3, 4) per-frame affine color correction, or None when
     # TrainConfig.exposure is off
     exposure: Optional[jax.Array] = None
+    # (n_frames, gh, gw, gl, 12) per-frame bilateral grids, or None
+    # when TrainConfig.bilateral_grid is off
+    bilagrid: Optional[jax.Array] = None
 
 
 def identity_exposure(n_frames: int) -> jax.Array:
@@ -166,7 +183,9 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
                          "per-pixel absolute gradients)")
     optimizer = make_optimizer(cfg.optim, cfg.scene_extent,
                                exposure_lr=cfg.exposure_lr if cfg.exposure
-                               else None)
+                               else None,
+                               bilagrid_lr=cfg.bilagrid_lr
+                               if cfg.bilateral_grid else None)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, camera: Camera, target: jax.Array,
@@ -187,7 +206,12 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
             if cfg.exposure:
                 e = params["exposure"][frame_idx]            # (3, 4)
                 rgb = jnp.clip(rgb @ e[:, :3].T + e[:, 3], 0.0, None)
+            if cfg.bilateral_grid:
+                rgb = apply_bilagrid(params["bilagrid"][frame_idx], rgb)
             loss = photometric_loss(rgb, target, cfg.ssim_lambda)
+            if cfg.bilateral_grid:
+                loss = loss + cfg.bilagrid_tv_lambda * \
+                    bilagrid_tv_loss(params["bilagrid"])
             if cfg.depth_lambda > 0.0:
                 if target_depth is None:
                     raise ValueError("depth_lambda > 0 needs per-frame "
@@ -213,6 +237,8 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
         params = float_params(g)
         if cfg.exposure:
             params["exposure"] = state.exposure
+        if cfg.bilateral_grid:
+            params["bilagrid"] = state.bilagrid
         argnums = (0, 1, 2) if absgrad else (0, 1)
         (loss, (rgb, radii, valid, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=argnums, has_aux=True)(params, offset, absp)
@@ -233,7 +259,9 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
                           densify_state=dstate, step=state.step + 1,
                           key=state.key,
                           exposure=new_params.get("exposure",
-                                                  state.exposure)), metrics
+                                                  state.exposure),
+                          bilagrid=new_params.get("bilagrid",
+                                                  state.bilagrid)), metrics
 
     return train_step
 
@@ -249,7 +277,8 @@ def make_densify_step(cfg: TrainConfig) -> Callable:
             cfg.scene_extent, enable_scale_prune=enable_scale_prune)
         opt_state = reset_slots_in_opt_state(state.opt_state, spawn)
         return TrainState(gaussians=g, opt_state=opt_state, densify_state=dstate,
-                          step=state.step, key=key, exposure=state.exposure)
+                          step=state.step, key=key, exposure=state.exposure,
+                          bilagrid=state.bilagrid)
 
     return densify_step
 
@@ -266,7 +295,9 @@ class Trainer:
         self.impl = impl
         optimizer = make_optimizer(cfg.optim, cfg.scene_extent,
                                    exposure_lr=cfg.exposure_lr if cfg.exposure
-                                   else None)
+                                   else None,
+                                   bilagrid_lr=cfg.bilagrid_lr
+                                   if cfg.bilateral_grid else None)
         # own our buffers: the jitted train step donates the state, so
         # aliasing the caller's arrays would delete their Gaussians
         # after the first step (bit a second Trainer built on the same
@@ -277,6 +308,10 @@ class Trainer:
         if cfg.exposure:
             exposure0 = identity_exposure(len(frames))
             params0 = {**params0, "exposure": exposure0}
+        bilagrid0 = None
+        if cfg.bilateral_grid:
+            bilagrid0 = identity_bilagrid(len(frames), cfg.bilagrid_shape)
+            params0 = {**params0, "bilagrid": bilagrid0}
         self.state = TrainState(
             gaussians=gaussians,
             opt_state=optimizer.init(params0),
@@ -284,6 +319,7 @@ class Trainer:
             step=jnp.asarray(0, jnp.int32),
             key=jax.random.PRNGKey(0),
             exposure=exposure0,
+            bilagrid=bilagrid0,
         )
         self._train_step = make_train_step(cfg, impl)
         self._densify_step = make_densify_step(cfg)

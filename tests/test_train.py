@@ -443,3 +443,68 @@ def test_depth_lambda_requires_depth():
     trainer = Trainer(cfg, gt, frames)
     with pytest.raises(ValueError, match="depth"):
         trainer.run(progress=False)
+
+
+def test_bilagrid_identity_and_tv():
+    """Identity bilateral grids are a color no-op with zero TV penalty;
+    perturbed grids have positive TV."""
+    from robosimgs_tpu.train.bilagrid import (apply_bilagrid,
+                                              identity_bilagrid, tv_loss)
+    g = identity_bilagrid(2, (4, 4, 3))
+    rgb = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (24, 32, 3)).astype(np.float32))
+    out = apply_bilagrid(g[0], rgb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rgb),
+                               atol=1e-5, rtol=1e-5)
+    assert float(tv_loss(g)) == 0.0
+    g2 = g.at[0, 0, 0, 0, 0].add(0.5)
+    assert float(tv_loss(g2)) > 0.0
+
+
+def test_bilagrid_spatial_weights_partition_unity():
+    from robosimgs_tpu.train.bilagrid import _spatial_weights
+    sw = _spatial_weights(24, 32, 4, 5)
+    np.testing.assert_allclose(np.asarray(sw.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_bilagrid_corrects_vignette():
+    """Bilateral-grid correction (splatfacto use_bilateral_grid):
+    targets with a radial vignette are unfittable by the gaussians or a
+    spatially-UNIFORM per-frame affine; the bilateral grid absorbs the
+    spatial falloff and post-correction training PSNR beats both."""
+    gt, frames = synthetic_scene(seed=2, n_gaussians=40, n_cameras=4,
+                                 width=48, height=48, sh_degree=1)
+    base_cfg = dict(
+        iterations=100,
+        render=RenderConfig(ref_gaussian_chunk=64, tile_capacity=128),
+        densify_from=10_000, opacity_reset_interval=10_000,
+        scene_extent=1.0, impl="reference", log_every=25,
+    )
+    yy, xx = np.mgrid[0:48, 0:48].astype(np.float32)
+    r2 = ((yy - 23.5) ** 2 + (xx - 23.5) ** 2) / (23.5 ** 2)
+    vignette = (1.0 - 0.55 * np.clip(r2, 0, 1))[:, :, None]
+    for f in frames:
+        clean = np.asarray(rasterize(gt, f.camera, base_cfg["render"],
+                                     impl="reference")["rgb"])
+        f.image = np.clip(clean * vignette, 0.0, 1.0)
+
+    rng = np.random.default_rng(1)
+
+    def init_g():
+        return Gaussians.from_points(
+            np.asarray(gt.means) + rng.normal(
+                scale=0.02, size=(40, 3)).astype(np.float32),
+            colors=np.full((40, 3), 0.5, np.float32),
+            sh_degree=1, init_scale=np.full((40,), 0.05, np.float32))
+
+    final = {}
+    for mode in ("off", "exposure", "bilagrid"):
+        cfg = TrainConfig(exposure=(mode == "exposure"), exposure_lr=5e-3,
+                          bilateral_grid=(mode == "bilagrid"),
+                          bilagrid_shape=(6, 6, 3), bilagrid_lr=5e-3,
+                          bilagrid_tv_lambda=1.0, **base_cfg)
+        trainer = Trainer(cfg, init_g(), frames)
+        trainer.run(progress=False)
+        final[mode] = trainer.history[-1]["psnr"]
+    assert final["bilagrid"] > final["off"] + 1.0, final
+    assert final["bilagrid"] > final["exposure"] + 0.5, final
