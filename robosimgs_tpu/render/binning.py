@@ -229,7 +229,14 @@ def gather_tile_features(proj: Projected, sel: jax.Array, counts: jax.Array, cfg
     b = proj.colors[sel, 2]
     d = proj.depths[sel]
     ones = jnp.ones_like(r)
-    feat = jnp.stack([r, g, b, d, ones, zeros, zeros, zeros], axis=1)
+    # normal rows mirror pack16 (rows 5/6 = nx/ny, row 7 = nz when the
+    # absgrad probe doesn't own it)
+    n5 = proj.normals[sel, 0] if proj.normals is not None else zeros
+    n6 = proj.normals[sel, 1] if proj.normals is not None else zeros
+    f7 = zeros
+    if proj.normals is not None and proj.abs_probe is None:
+        f7 = proj.normals[sel, 2]
+    feat = jnp.stack([r, g, b, d, ones, n5, n6, f7], axis=1)
     return geom, feat
 
 
@@ -250,13 +257,22 @@ def pack16(proj: Projected) -> jax.Array:
     # else). Without a probe they're literal zeros.
     px = proj.abs_probe[:, 0] if proj.abs_probe is not None else zeros
     py_ = proj.abs_probe[:, 1] if proj.abs_probe is not None else zeros
+    # normal-map rendering: camera-space nx/ny ride the free feat rows
+    # 5/6 (columns 13/14); nz takes row 7 unless the absgrad probe
+    # owns it (then composite_from_tiles reconstructs nz from nx/ny —
+    # exact whenever a pixel's contributors share one normal)
+    n13 = proj.normals[:, 0] if proj.normals is not None else zeros
+    n14 = proj.normals[:, 1] if proj.normals is not None else zeros
+    c15 = py_
+    if proj.normals is not None and proj.abs_probe is None:
+        c15 = proj.normals[:, 2]
     return jnp.stack([
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
         proj.opacities * mask_f,
         sg(proj.depths), px,
         proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
-        proj.depths, ones, zeros, zeros, py_,
+        proj.depths, ones, n13, n14, c15,
     ], axis=1)
 
 

@@ -53,6 +53,14 @@ class RenderConfig:
     # gradient of Projected.abs_probe. Only the pallas compositor
     # computes it.
     absgrad: bool = False
+    # render a camera-space normal map: each splat's unit normal (the
+    # rotated axis of its SMALLEST scale, oriented toward the camera)
+    # rides the free feat rows 5/6 (+7 when absgrad doesn't need it)
+    # through the same alpha-weighted compositing as color, and the
+    # output dict gains "normal" (H, W, 3) unit vectors. Feeds the
+    # 2DGS-style normal-consistency regularizer (train/trainer.py
+    # normal_lambda). Tiled/Pallas compositors only.
+    render_normals: bool = False
     # static capacities (overflow/truncation is counted in BinStats,
     # never silent; raise these for scenes with very large splats)
     max_tiles_per_gaussian: int = 32

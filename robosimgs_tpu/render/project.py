@@ -50,6 +50,11 @@ class Projected:
     # RenderConfig.absgrad is on — rides pack16 columns 7/15 through
     # the binning transpose (see pallas_kernels._bwd_kernel)
     abs_probe: Optional[jax.Array] = None
+    # optional (N, 3) camera-space unit splat normals (the rotated
+    # minimum-scale axis, oriented toward the camera) when
+    # RenderConfig.render_normals is on — composited alpha-weighted
+    # into the "normal" output map via pack16 rows 13/14(/15)
+    normals: Optional[jax.Array] = None
 
 
 def project(
@@ -145,6 +150,27 @@ def project(
     sh = jnp.concatenate([g.sh_dc[:, None, :], g.sh_rest], axis=1)
     colors = eval_sh(sh_degree, sh, dirs)
 
+    normals = None
+    if cfg.render_normals:
+        # splat normal = rotated axis of the SMALLEST scale (the flat
+        # direction), camera-space, oriented toward the camera. The
+        # one-hot axis pick is piecewise-constant in scales (no grad
+        # through argmin — standard 2DGS/gsplat semantics); gradients
+        # flow to the quats through the rotation components.
+        from robosimgs_tpu.core.math3d import rotmat_components
+        rc = rotmat_components(g.normalized_quats())
+        s = g.scales()
+        oh = jax.nn.one_hot(jnp.argmin(s, axis=-1), 3,
+                            dtype=jnp.float32)               # (N, 3)
+        nwx = rc[0][0] * oh[:, 0] + rc[0][1] * oh[:, 1] + rc[0][2] * oh[:, 2]
+        nwy = rc[1][0] * oh[:, 0] + rc[1][1] * oh[:, 1] + rc[1][2] * oh[:, 2]
+        nwz = rc[2][0] * oh[:, 0] + rc[2][1] * oh[:, 1] + rc[2][2] * oh[:, 2]
+        ncx = R_cw[0, 0] * nwx + R_cw[0, 1] * nwy + R_cw[0, 2] * nwz
+        ncy = R_cw[1, 0] * nwx + R_cw[1, 1] * nwy + R_cw[1, 2] * nwz
+        ncz = R_cw[2, 0] * nwx + R_cw[2, 1] * nwy + R_cw[2, 2] * nwz
+        flip = jnp.where(ncx * tx + ncy * ty + ncz * tz > 0.0, -1.0, 1.0)
+        normals = jnp.stack([ncx, ncy, ncz], -1) * flip[:, None]
+
     opacities = g.opacities()
     if cfg.antialiased:
         # mip-splatting opacity compensation: the +blur low-pass
@@ -164,4 +190,5 @@ def project(
         opacities=opacities,
         valid=valid,
         abs_probe=abs_probe,
+        normals=normals,
     )

@@ -92,10 +92,42 @@ def composite_tiled(
         dlim = tile_image(jax.lax.stop_gradient(depth_limit), tiles_x, tiles_y,
                           cfg.tile_size, pad_value=jnp.inf)
     out = composite_from_tiles(geom, feat, counts, width, height, cfg,
-                               background, compositor, dlim)
+                               background, compositor, dlim,
+                               normal_mode=_normal_mode(proj))
     if return_stats:
         out["stats"] = stats
     return out
+
+
+def _normal_mode(proj: Projected) -> str:
+    """Which feat rows carry splat normals (see binning.pack16):
+    "xyz" = rows 5/6/7, "xy" = rows 5/6 with nz reconstructed (the
+    absgrad probe owns row 7), "none" = no normal rendering."""
+    if proj.normals is None:
+        return "none"
+    return "xy" if proj.abs_probe is not None else "xyz"
+
+
+def _normal_map(img: jax.Array, acc_a: jax.Array, mode: str) -> jax.Array:
+    """(…, 8)-channel composited image -> (…, 3) unit camera-space
+    normal map. In "xy" mode nz is reconstructed from the accumulated
+    alpha (|Σw·n| = Σw exactly when a pixel's contributors share one
+    normal — the regularizer's optimum; elsewhere an under-estimate
+    that still orders alignment correctly)."""
+    sx, sy = img[..., 5], img[..., 6]
+    if mode == "xyz":
+        sz = img[..., 7]
+    else:
+        # eps inside the sqrt: d(sqrt)/dx at a clamped 0 must be 0, not
+        # inf (uncovered pixels are gated out of losses, but a NaN/inf
+        # grad times the 0 gate is still NaN — the where-grad trap)
+        sz = -jnp.sqrt(jnp.maximum(acc_a * acc_a - sx * sx - sy * sy,
+                                   1e-24))
+    n = jnp.stack([sx, sy, sz], -1)
+    # rsqrt of a clamped square: zero vectors (empty pixels) normalize
+    # to 0 with ZERO gradient instead of the NaN jnp.linalg.norm emits
+    sq = jnp.sum(n * n, -1, keepdims=True)
+    return n * jax.lax.rsqrt(jnp.maximum(sq, 1e-16))
 
 
 def composite_from_tiles(
@@ -108,12 +140,15 @@ def composite_from_tiles(
     background: Optional[jax.Array] = None,
     compositor: str = "pallas",
     dlim: Optional[jax.Array] = None,    # (T, P) per-pixel depth limits
+    normal_mode: str = "none",
 ) -> Dict[str, jax.Array]:
     """Composite pre-gathered per-tile feature blocks into an image.
 
     The entry point for callers that build geom/feat themselves (the
     ring-streamed gaussian-sharded path assembles them by merging
     per-shard chunks); composite_tiled is bin_and_gather_packed + this.
+    normal_mode ("none"/"xyz"/"xy", see _normal_mode): adds a "normal"
+    unit-vector map to the output when feat rows carry splat normals.
     """
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
@@ -135,7 +170,10 @@ def composite_from_tiles(
     img = untile(out_tiles, tiles_x, tiles_y, width, height, cfg.tile_size)
     acc_a = img[..., 4]
     rgb = img[..., :3] + (1.0 - acc_a)[..., None] * background
-    return {"rgb": rgb, "alpha": acc_a, "depth": img[..., 3]}
+    out = {"rgb": rgb, "alpha": acc_a, "depth": img[..., 3]}
+    if normal_mode != "none":
+        out["normal"] = _normal_map(img, acc_a, normal_mode)
+    return out
 
 
 def composite_tiled_batch(
@@ -195,6 +233,8 @@ def composite_tiled_batch(
     acc_a = imgs[..., 4]
     rgb = imgs[..., :3] + (1.0 - acc_a)[..., None] * background
     out = {"rgb": rgb, "alpha": acc_a, "depth": imgs[..., 3]}
+    if _normal_mode(projs) != "none":
+        out["normal"] = _normal_map(imgs, acc_a, _normal_mode(projs))
     if return_stats:
         out["stats"] = stats
     return out

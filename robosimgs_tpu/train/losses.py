@@ -89,3 +89,33 @@ def ssim(pred: jax.Array, target: jax.Array, window_size: int = 11,
 def photometric_loss(pred: jax.Array, target: jax.Array,
                      ssim_lambda: float = 0.2) -> jax.Array:
     return (1.0 - ssim_lambda) * l1_loss(pred, target) + ssim_lambda * (1.0 - ssim(pred, target))
+
+
+def normals_from_depth(depth: jax.Array, fx, fy, cx, cy):
+    """Camera-space surface normals from a depth map by central
+    differences of the unprojected point map (the geometric target of
+    the 2DGS-style normal-consistency regularizer).
+
+    depth: (H, W) camera-space z (alpha-normalized expected splat
+    depth). Returns (normals (H, W, 3) unit, oriented toward the
+    camera; valid (H, W) bool — border pixels, where the central
+    difference wraps, are invalid).
+
+    Pixel centers sit at integer coords with u = fx*x/z + cx - 0.5
+    (core/camera.py), so unprojection uses (u + 0.5 - cx) / fx.
+    """
+    h, w = depth.shape
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    v = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    p = jnp.stack([depth * (u - cx) / fx, depth * (v - cy) / fy, depth], -1)
+    du = jnp.roll(p, -1, axis=1) - jnp.roll(p, 1, axis=1)
+    dv = jnp.roll(p, -1, axis=0) - jnp.roll(p, 1, axis=0)
+    n = jnp.cross(dv, du)
+    # rsqrt of a clamped square, NOT n / max(norm, eps): the norm's own
+    # gradient at 0 is NaN and poisons gated-out pixels (where-grad trap)
+    sq = jnp.sum(n * n, -1, keepdims=True)
+    n = n * jax.lax.rsqrt(jnp.maximum(sq, 1e-20))
+    flip = jnp.where(jnp.sum(n * p, -1) > 0.0, -1.0, 1.0)
+    n = n * flip[..., None]
+    valid = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+    return n, valid

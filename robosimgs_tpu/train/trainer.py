@@ -33,7 +33,8 @@ from robosimgs_tpu.train.densify import (DensifyConfig, DensifyState,
                                          compact_and_resize,
                                          densify_and_prune, reset_opacities,
                                          update_stats)
-from robosimgs_tpu.train.losses import photometric_loss, psnr
+from robosimgs_tpu.train.losses import (normals_from_depth,
+                                        photometric_loss, psnr)
 from robosimgs_tpu.train.optim import (FLOAT_FIELDS, OptimConfig,
                                        float_params, make_optimizer,
                                        reset_slots_in_opt_state)
@@ -118,6 +119,14 @@ class TrainConfig:
     # pipeline's depth data (nerf2physic depth maps, SURVEY.md §2.1 #14).
     depth_lambda: float = 0.0
     depth_alpha_gate: float = 0.25
+    # normal-consistency regularizer (2DGS-style): 1 - dot between the
+    # rendered splat-normal map (RenderConfig.render_normals, enabled
+    # automatically) and normals derived from the rendered depth map's
+    # central differences, on covered pixels — aligns each splat's flat
+    # axis with the local surface (better geometry for mesh extraction
+    # / part splitting). Tiled/Pallas impl only.
+    normal_lambda: float = 0.0
+    normal_alpha_gate: float = 0.5
     # target residency: None = auto (host-resident when the target set
     # exceeds host_data_threshold bytes, else all uploaded once).
     # Host-resident mode streams each step's target with an async
@@ -181,6 +190,14 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
         raise ValueError("absgrad needs the tiled/Pallas impl (the "
                          "reference compositor's autodiff cannot observe "
                          "per-pixel absolute gradients)")
+    if cfg.normal_lambda > 0.0:
+        if impl == "reference":
+            raise ValueError("normal_lambda needs the tiled/Pallas impl "
+                             "(only it renders the splat-normal map)")
+        if not cfg.render.render_normals:
+            cfg = dataclasses.replace(
+                cfg, render=dataclasses.replace(cfg.render,
+                                                render_normals=True))
     optimizer = make_optimizer(cfg.optim, cfg.scene_extent,
                                exposure_lr=cfg.exposure_lr if cfg.exposure
                                else None,
@@ -224,6 +241,17 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
                 n_dv = jnp.maximum(jnp.sum(dv), 1)
                 loss = loss + cfg.depth_lambda * jnp.sum(
                     jnp.where(dv, jnp.abs(d - target_depth), 0.0)) / n_dv
+            if cfg.normal_lambda > 0.0:
+                a = out["alpha"]
+                d = out["depth"] / jnp.maximum(a, 1e-6)
+                nd, nd_valid = normals_from_depth(
+                    d, camera.fx, camera.fy, camera.cx, camera.cy)
+                gate = nd_valid & (jax.lax.stop_gradient(a)
+                                   > cfg.normal_alpha_gate)
+                n_g = jnp.maximum(jnp.sum(gate), 1)
+                dots = jnp.sum(out["normal"] * nd, -1)
+                loss = loss + cfg.normal_lambda * jnp.sum(
+                    jnp.where(gate, 1.0 - dots, 0.0)) / n_g
             if cfg.scale_reg_lambda > 0.0:
                 ls = params["log_scales"]
                 ratio = jnp.exp(jnp.max(ls, -1) - jnp.min(ls, -1))

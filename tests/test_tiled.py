@@ -422,3 +422,59 @@ def test_depth_gradient_parity():
     assert float(jnp.linalg.norm(gr)) > 1e-4  # the loss actually bites
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                atol=2e-5, rtol=2e-3)
+
+
+def _flat_plane_gaussians(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-0.8, 0.8, (n, 2)).astype(np.float32)
+    means = np.concatenate([xy, np.zeros((n, 1), np.float32)], 1)
+    g = Gaussians.from_points(means, colors=np.full((n, 3), 0.6, np.float32),
+                              init_scale=np.full((n,), 0.25, np.float32))
+    ls = np.array(g.log_scales)
+    ls[:, 2] = np.log(1e-3)   # flat along world z -> normal = +/- z
+    return g.replace(log_scales=jnp.asarray(ls))
+
+
+def test_normal_map_flat_plane():
+    """render_normals: flat splats on the z=0 world plane viewed from
+    +z must composite to the camera-space normal (0, 0, -1) at every
+    covered pixel, in both the xyz rows mode and the absgrad
+    xy-reconstruction mode (binning.pack16 row contract)."""
+    from robosimgs_tpu.render.tiled import composite_tiled
+
+    g = _flat_plane_gaussians()
+    cam = Camera.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0], 60.0, 64, 64)
+    cfg = RenderConfig(render_normals=True, tile_capacity=256)
+    out = composite_tiled(project(g, cam, cfg), 64, 64, cfg)
+    m = np.asarray(out["alpha"]) > 0.5
+    assert m.sum() > 100
+    nm = np.asarray(out["normal"])[m]
+    np.testing.assert_allclose(nm, np.tile([0.0, 0.0, -1.0], (len(nm), 1)),
+                               atol=1e-4)
+    # absgrad owns feat row 7 -> nz reconstructed from nx/ny + alpha
+    cfg2 = RenderConfig(render_normals=True, absgrad=True, tile_capacity=256)
+    proj2 = project(g, cam, cfg2,
+                    abs_probe=jnp.zeros((g.capacity, 2), jnp.float32))
+    out2 = composite_tiled(proj2, 64, 64, cfg2)
+    np.testing.assert_allclose(np.asarray(out2["normal"])[m], nm, atol=1e-4)
+
+
+def test_normal_map_oblique_view():
+    """Normals are camera-space: tilting the camera tilts the rendered
+    normal accordingly (R_cw applied in project)."""
+    from robosimgs_tpu.render.tiled import composite_tiled
+
+    g = _flat_plane_gaussians()
+    cam = Camera.look_at([2.0, 0, 2.5], [0, 0, 0], [0, 1, 0], 60.0, 64, 64)
+    cfg = RenderConfig(render_normals=True, tile_capacity=256)
+    out = composite_tiled(project(g, cam, cfg), 64, 64, cfg)
+    m = np.asarray(out["alpha"]) > 0.5
+    assert m.sum() > 50
+    nm = np.asarray(out["normal"])[m]
+    # expected: world +z rotated by R_cw, oriented toward camera
+    w2c = np.asarray(cam.w2c)
+    nz_cam = w2c[:3, :3] @ np.array([0.0, 0.0, 1.0])
+    if nz_cam[2] > 0:
+        nz_cam = -nz_cam
+    err = np.abs(nm - nz_cam[None, :]).max()
+    assert err < 1e-3, (err, nm.mean(0), nz_cam)

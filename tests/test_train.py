@@ -508,3 +508,51 @@ def test_bilagrid_corrects_vignette():
         final[mode] = trainer.history[-1]["psnr"]
     assert final["bilagrid"] > final["off"] + 1.0, final
     assert final["bilagrid"] > final["exposure"] + 0.5, final
+
+
+def test_normal_regularizer_aligns_splats():
+    """Normal-consistency regularizer (2DGS-style): on a fronto-
+    parallel wall with randomly-rotated splats, normal_lambda > 0
+    pulls each splat's flat axis toward the depth-map normal (the
+    wall's), beating the lambda=0 run on mean |n . wall_normal|."""
+    from robosimgs_tpu.core.math3d import quat_to_rotmat
+
+    rng = np.random.default_rng(4)
+    n = 40
+    xy = rng.uniform(-0.7, 0.7, (n, 2)).astype(np.float32)
+    means = np.concatenate([xy, np.zeros((n, 1), np.float32)], 1)
+    gt = Gaussians.from_points(
+        means, colors=rng.uniform(0.3, 0.9, (n, 3)).astype(np.float32),
+        init_opacity=0.85, init_scale=np.full((n,), 0.16, np.float32))
+    ls = np.array(gt.log_scales)
+    ls[:, 2] = np.log(0.02)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    gt = gt.replace(log_scales=jnp.asarray(ls), quats=jnp.asarray(q))
+
+    from robosimgs_tpu.core.camera import Camera
+    rcfg = RenderConfig(tile_capacity=256)
+    cams = [Camera.look_at(o, [0, 0, 0], [0, 1, 0], 60.0, 48, 48)
+            for o in ([0, 0, 3], [0.5, 0.3, 2.9], [-0.4, -0.3, 2.9])]
+    frames = [Frame(camera=c, image=np.asarray(
+        rasterize(gt, c, rcfg, impl="reference")["rgb"])) for c in cams]
+
+    def alignment(g):
+        r = np.asarray(quat_to_rotmat(g.normalized_quats()))
+        k = np.argmin(np.asarray(g.scales()), axis=-1)
+        nrm = r[np.arange(len(k)), :, k]
+        alive = np.asarray(g.alive)
+        return float(np.mean(np.abs(nrm[alive, 2])))
+
+    res = {}
+    for lam in (0.0, 0.5):
+        cfg = TrainConfig(iterations=150, render=rcfg, impl="tiled",
+                          densify_from=10_000, opacity_reset_interval=10_000,
+                          scene_extent=1.0, log_every=30, normal_lambda=lam)
+        trainer = Trainer(cfg, jax.tree_util.tree_map(jnp.copy, gt), frames)
+        a0 = alignment(trainer.state.gaussians)
+        trainer.run(progress=False)
+        res[lam] = alignment(trainer.state.gaussians)
+    # measured: 0.48 -> ~0.75 with the regularizer; flat without
+    assert res[0.5] > res[0.0] + 0.1, (a0, res)
+    assert res[0.5] > 0.65, res
