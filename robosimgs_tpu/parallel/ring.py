@@ -249,8 +249,13 @@ def ring_render_rows(params: Dict[str, jax.Array], alive: jax.Array,
     geom, feat, counts, stats, radii, valid = ring_bin_gather(
         params, alive, offset, (crop, camera.tan_half_fov),
         camera.width, rows, cfg, axis_name, n_shard)
+    # the ring's project() never carries an absgrad probe, so when
+    # cfg.render_normals is on the packed feat rows 5/6/7 hold full xyz
+    # splat normals — emit the "normal" output instead of dropping it
     out = composite_from_tiles(geom, feat, counts, camera.width, rows, cfg,
-                               background, compositor=compositor)
+                               background, compositor=compositor,
+                               normal_mode=("xyz" if cfg.render_normals
+                                            else "none"))
     out["stats"] = stats
     out["radii"] = jax.lax.stop_gradient(radii)
     out["valid"] = jax.lax.stop_gradient(valid)

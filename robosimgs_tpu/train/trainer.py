@@ -246,8 +246,16 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
                 d = out["depth"] / jnp.maximum(a, 1e-6)
                 nd, nd_valid = normals_from_depth(
                     d, camera.fx, camera.fy, camera.cx, camera.cy)
-                gate = nd_valid & (jax.lax.stop_gradient(a)
-                                   > cfg.normal_alpha_gate)
+                # erode the alpha gate by the central-difference stencil
+                # radius: normals_from_depth reads the 4 rolled neighbors'
+                # alpha-normalized depth, so a covered pixel next to an
+                # uncovered one (silhouette, d ~ 0 there) would otherwise
+                # get a garbage depth-normal target that passes the gate
+                ag = jax.lax.stop_gradient(a) > cfg.normal_alpha_gate
+                gate = nd_valid & ag
+                for ax in (0, 1):
+                    for sh in (1, -1):
+                        gate = gate & jnp.roll(ag, sh, axis=ax)
                 n_g = jnp.maximum(jnp.sum(gate), 1)
                 dots = jnp.sum(out["normal"] * nd, -1)
                 loss = loss + cfg.normal_lambda * jnp.sum(
@@ -378,7 +386,11 @@ class Trainer:
     def targets(self):
         return [np.asarray(f.load(self.cfg.background)) for f in self.frames]
 
-    def run(self, iterations: Optional[int] = None, progress: bool = True):
+    def run(self, iterations: Optional[int] = None, progress: bool = True,
+            on_log=None):
+        """on_log: optional callable(metrics_dict) invoked at every log
+        interval — long TPU jobs use it to pet the wedge watchdog
+        (scripts/wedgeguard.py) and stream progress."""
         cfg = self.cfg
         iters = iterations or cfg.iterations
         # track the step python-side — forcing int(state.step) would
@@ -441,6 +453,8 @@ class Trainer:
                 m["step"] = step
                 m["elapsed"] = time.time() - t0
                 self.history.append(m)
+                if on_log is not None:
+                    on_log(m)
                 if progress:
                     extra = (f" OVERFLOW={int(m['overflow'])}"
                              if m.get("overflow") else "")

@@ -149,3 +149,45 @@ def test_ring_step_matches_all_gather_step():
                                    np.asarray(grads_ag[k]), atol=2e-6,
                                    err_msg=k)
     assert step_ring == 1
+
+def test_ring_render_rows_emits_normals():
+    """cfg.render_normals must survive the ring path: the 'normal' map
+    assembled from per-tile row strips equals the single-device tiled
+    render's (the feat rows were always packed; this guards the
+    compositor actually emitting them — advisor finding r2)."""
+    from robosimgs_tpu.parallel.ring import ring_render_rows
+    from robosimgs_tpu.render.rasterize import rasterize
+
+    assert len(jax.devices()) >= 8
+    n_shard, n_tile = 4, 2
+    mesh = make_mesh(n_shard, n_tile)
+    cfg, cam, g = _setup(n=64)
+    cfg = dataclasses.replace(cfg, render_normals=True)
+    params = float_params(g)
+    offset = jnp.zeros((g.capacity, 2), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+    rows = cam.height // n_tile
+
+    def per_device(params, alive, offset):
+        tile_rank = jax.lax.axis_index("tile")
+        out = ring_render_rows(params, alive, offset, cam, tile_rank,
+                               n_tile, cfg, bg, "data", n_shard)
+        return out["normal"], out["rgb"]
+
+    pspec = {k: P("data") for k in
+             ["means", "quats", "log_scales", "logit_opacities",
+              "sh_dc", "sh_rest"]}
+    fn = jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(pspec, P("data"), P("data")),
+        out_specs=(P("tile"), P("tile")), check_vma=False))
+    normal_r, rgb_r = fn(params, g.alive, offset)
+    assert normal_r.shape == (cam.height, cam.width, 3)
+
+    ref = rasterize(g, cam, cfg, impl="tiled")
+    assert "normal" in ref
+    np.testing.assert_allclose(np.asarray(rgb_r), np.asarray(ref["rgb"]),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(normal_r),
+                               np.asarray(ref["normal"]),
+                               atol=1e-4, rtol=1e-3)
