@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from robosimgs_tpu.artic.mllm import (ImageTextScorer, MaskGenerator,
-                                      MLLMClient, extract_json, with_retry)
+                                      MLLMClient, MLLMError, extract_json,
+                                      with_retry)
 from robosimgs_tpu.artic.render_views import (MARKER_COLORS,
                                               render_canonical_views)
 from robosimgs_tpu.core.camera import Camera
@@ -135,6 +136,7 @@ class Segmenter:
         max_mask_area: float = 0.7,
         view_names: Optional[Sequence[str]] = None,
         visual_prompt: str = "blur",
+        mllm_masks: bool = False,
     ):
         self.mesh = mesh
         self.out_dir = out_dir
@@ -145,6 +147,13 @@ class Segmenter:
         self.mask_dilate_px = mask_dilate_px
         self.min_mask_area = min_mask_area
         self.max_mask_area = max_mask_area
+        # MLLM candidate-mask decision (the reference's GPT-automatic
+        # segmentation, interactive_segmenter.py:1054-1164 /
+        # simple_segmenter.py:863-946): the model picks the winning mask
+        # from a numbered candidate grid with the marked views as
+        # context. Opt-in (cli/articulate.py --mllm enables it);
+        # scripted/scorer paths remain the default for headless runs.
+        self.mllm_masks = mllm_masks
         # "blur" = FGVP blur-mask prompt before scorer ranking (the
         # reference's default when FGVP is installed,
         # interactive_segmenter.py:155-165); "white" = plain
@@ -229,11 +238,12 @@ class Segmenter:
 
     # -- stage 5: mask generation + selection ----------------------------
 
-    def segment_part(self, image: np.ndarray, prompt: str,
-                     marker_uv: Optional[Tuple[float, float]] = None,
-                     chosen_index: Optional[int] = None) -> np.ndarray:
-        """Generate candidate masks, rank, pick (scripted index, marker
-        containment, scorer rank, or MLLM), dilate.
+    def generate_candidates(self, image: np.ndarray,
+                            prompt: Optional[str] = None) -> List[np.ndarray]:
+        """Generate + area-filter candidate masks, ranked best-first by
+        the scorer when one is configured (the reference presents
+        CLIP-sorted candidates to the model,
+        interactive_segmenter.py:901-903).
 
         With no mask_generator configured, the checked-in learned model
         (artic/masknet) is loaded on first use — the counterpart of the
@@ -256,38 +266,153 @@ class Segmenter:
                       if self.min_mask_area * hw <= m.sum() <= self.max_mask_area * hw]
         if not candidates:
             raise ValueError("no candidate masks within area bounds")
+        if self.scorer is not None and prompt is not None:
+            scores = self._score_candidates(image, candidates, prompt)
+            order = np.argsort(-np.asarray(scores))
+            candidates = [candidates[i] for i in order]
+        return candidates
+
+    def _score_candidates(self, image: np.ndarray, candidates, prompt: str):
+        """Scorer (CLIP-role) ranking over visually-prompted candidates.
+        Default prompt = FGVP blur-mask (sharp inside the mask, heavy
+        blur outside — the reference runs this before CLIP ranking); the
+        blurred base image is computed once and reused."""
+        if self.visual_prompt == "blur":
+            from robosimgs_tpu.artic.visual_prompt import gaussian_blur
+            h = image.shape[0]
+            blurred = np.asarray(gaussian_blur(
+                jnp.asarray(image, jnp.float32),
+                max(1.0, 100.0 * h / 800)))
+            prompted = [np.where(m[..., None], image, blurred)
+                        for m in candidates]
+        else:
+            prompted = [np.where(m[..., None], image, 1.0)
+                        for m in candidates]
+        return [float(self.scorer.score(im, [prompt, "background"])[0])
+                for im in prompted]
+
+    def mllm_select_candidate(
+        self, image: np.ndarray, candidates: Sequence[np.ndarray],
+        prompt: str, view_name: str, color_name: str = "RED",
+        context_views: Optional[Dict[str, Dict]] = None,
+    ) -> Optional[int]:
+        """MLLM mask decision over a numbered candidate grid with the
+        marked views as low-detail 3D context — the reference's
+        `_gpt_select_candidate` (interactive_segmenter.py:1054-1164).
+
+        Returns the candidate index, or None = the part is NOT visible
+        in this view (model answered 0 — the caller should try another
+        view). An unparseable / out-of-range answer falls back to
+        candidate 0 (the scorer's top pick), as in the reference."""
+        n = len(candidates)
+        text = (
+            "You are an expert in 3D object understanding and image "
+            "segmentation quality assessment. The object is shown from "
+            "context views with colored markers on different parts; the "
+            f"{color_name} marker represents: \"{prompt}\".\n"
+            f"TASK: select the best segmentation candidate for the "
+            f"\"{prompt}\" part in the {view_name.upper()} view. The "
+            f"final image shows {n} candidates labeled #1 to #{n}, each "
+            "with a green overlay on the segmented region, sorted "
+            "best-first by a prior score.\n"
+            "Evaluation criteria: complete coverage of the part, "
+            "accurate boundaries, no inclusion of other parts, correct "
+            "occlusion handling.\nReturn ONLY a single number: 0 if the "
+            f"\"{prompt}\" part is NOT visible in this view, else "
+            f"1-{n} for the best candidate."
+        )
+        imgs = [v["marked"] for v in (context_views or {}).values()]
+        imgs.append(self._candidate_grid_image(image, candidates))
+        try:
+            resp = with_retry(lambda seed: self.mllm.chat(text, imgs,
+                                                          seed=seed))
+            sel = int(str(resp).strip().split()[0])
+        except (MLLMError, ValueError, IndexError):
+            return 0                      # fall back to the top-ranked mask
+        if sel == 0:
+            return None
+        if 1 <= sel <= n:
+            return sel - 1
+        return 0
+
+    def mllm_choose_view_joint(self, views: Dict[str, Dict],
+                               prompts: Dict[str, str]) -> Optional[str]:
+        """Cross-view joint selection, step 1: the model sees ALL marked
+        views at once and picks the view where the two parts do NOT
+        overlap in 2D, with a THINKING/ANSWER protocol — the reference
+        SimpleSegmenter's `_gpt_choose_best_view`
+        (simple_segmenter.py:757-861). Returns view name or None."""
+        names = list(views)
+        parts = list(prompts.values())
+        colors = list(prompts)
+        text = (
+            "You are analyzing an articulated object to determine the "
+            "best view for segmentation. Parts: "
+            + "; ".join(f"{c} marker = \"{p}\"" for c, p in
+                        zip(colors, parts)) +
+            f".\nViews shown, in order: {', '.join(names)}.\n"
+            f"CRITICAL: the \"{parts[0]}\" and \"{parts[1]}\" parts must "
+            "NOT overlap in the 2D projection of the chosen view. "
+            "Examine each view: find both markers, judge whether the two "
+            "part regions overlap; choose the view with least overlap, "
+            "both parts visible and boundaries clear.\n"
+            "Return your answer in this format:\n"
+            "THINKING: [per-view analysis]\n"
+            f"ANSWER: one of {', '.join(names)}"
+        )
+        imgs = [views[n]["marked"] for n in names]
+        try:
+            resp = with_retry(lambda seed: self.mllm.chat(text, imgs,
+                                                          seed=seed))
+        except MLLMError:
+            return None
+        ans = resp.split("ANSWER:")[-1].strip().lower() if "ANSWER:" in resp \
+            else resp.strip().lower()
+        ans = ans.split()[0] if ans.split() else ans
+        return ans if ans in views else None
+
+    def segment_part(self, image: np.ndarray, prompt: str,
+                     marker_uv: Optional[Tuple[float, float]] = None,
+                     chosen_index: Optional[int] = None,
+                     view_name: str = "view",
+                     context_views: Optional[Dict[str, Dict]] = None,
+                     candidates: Optional[List[np.ndarray]] = None
+                     ) -> np.ndarray:
+        """Generate candidate masks, rank, pick (scripted index, MLLM,
+        marker containment, scorer rank), dilate.
+
+        Pick priority: `chosen_index` (scripted) > MLLM decision (when
+        `mllm_masks` is on) > marker containment > scorer top-1 >
+        largest. If the MLLM answers "not visible" (None) the marker /
+        scorer fallbacks apply — callers doing cross-view selection
+        should use generate_candidates + mllm_select_candidate directly
+        (see run())."""
+        if candidates is None:
+            candidates = self.generate_candidates(image, prompt)
         if self.out_dir:
             self._dump_candidate_grid(image, candidates, prompt)
+        best = None
         if chosen_index is not None:
             best = candidates[chosen_index]
-        elif marker_uv is not None:
-            u, v = int(round(marker_uv[0])), int(round(marker_uv[1]))
-            containing = [m for m in candidates
-                          if 0 <= v < m.shape[0] and 0 <= u < m.shape[1] and m[v, u]]
-            pool = containing or candidates
-            best = min(pool, key=lambda m: m.sum())  # tightest containing mask
-        elif self.scorer is not None:
-            # rank by scoring each visually-prompted candidate against
-            # the part name. Default prompt = FGVP blur-mask (sharp
-            # inside the mask, heavy blur outside — the reference runs
-            # this before CLIP ranking); the blurred base image is
-            # computed once and reused across candidates.
-            if self.visual_prompt == "blur":
-                from robosimgs_tpu.artic.visual_prompt import gaussian_blur
-                h = image.shape[0]
-                blurred = np.asarray(gaussian_blur(
-                    jnp.asarray(image, jnp.float32),
-                    max(1.0, 100.0 * h / 800)))
-                prompted = [np.where(m[..., None], image, blurred)
-                            for m in candidates]
+        elif self.mllm_masks and self.mllm is not None:
+            idx = self.mllm_select_candidate(image, candidates, prompt,
+                                             view_name,
+                                             context_views=context_views)
+            if idx is not None:
+                best = candidates[idx]
+            # idx None = "part not visible" -> geometric fallbacks below
+        if best is None:
+            if marker_uv is not None:
+                u, v = int(round(marker_uv[0])), int(round(marker_uv[1]))
+                containing = [m for m in candidates
+                              if 0 <= v < m.shape[0] and 0 <= u < m.shape[1]
+                              and m[v, u]]
+                pool = containing or candidates
+                best = min(pool, key=lambda m: m.sum())  # tightest containing
+            elif self.scorer is not None:
+                best = candidates[0]      # already ranked best-first
             else:
-                prompted = [np.where(m[..., None], image, 1.0)
-                            for m in candidates]
-            scores = [float(self.scorer.score(im, [prompt, "background"])[0])
-                      for im in prompted]
-            best = candidates[int(np.argmax(scores))]
-        else:
-            best = max(candidates, key=lambda m: m.sum())
+                best = max(candidates, key=lambda m: m.sum())
         return dilate_mask(best, self.mask_dilate_px)
 
     # -- stage 6: split + export -----------------------------------------
@@ -313,18 +438,23 @@ class Segmenter:
                 save_mesh(os.path.join(self.out_dir, f"part_{color}.glb"), mesh)
         return parts
 
-    def _dump_candidate_grid(self, image: np.ndarray, candidates, prompt: str):
-        """Candidate-mask debug grid (the reference's observability-as-
-        testing artifact dumps, SURVEY.md §4 item 3)."""
-        from PIL import Image as PILImage
-
-        debug_dir = os.path.join(self.out_dir, "debug")
-        os.makedirs(debug_dir, exist_ok=True)
+    def _candidate_grid_image(self, image: np.ndarray, candidates,
+                              max_tiles: int = 16) -> np.ndarray:
+        """Numbered candidate grid: each tile is the image with a green
+        overlay on its mask and a "#N" label — the artifact the MLLM
+        decides over (the reference's all_candidates grid,
+        simple_segmenter.py:558-596). float32 in [0, 1]."""
         tiles = []
-        for m in candidates[:16]:
+        for i, m in enumerate(candidates[:max_tiles]):
             overlay = image.copy()
-            overlay[m] = 0.5 * overlay[m] + 0.5 * np.asarray([1.0, 0.2, 0.2])
-            tiles.append(overlay)
+            overlay[m] = 0.5 * overlay[m] + 0.5 * np.asarray([0.1, 1.0, 0.1])
+            overlay = np.ascontiguousarray(
+                (np.clip(overlay, 0, 1) * 255).astype(np.uint8))
+            scale = max(0.5, image.shape[0] / 400)
+            cv2.putText(overlay, f"#{i + 1}", (8, int(28 * scale)),
+                        cv2.FONT_HERSHEY_SIMPLEX, scale, (255, 25, 25),
+                        max(1, int(2 * scale)), cv2.LINE_AA)
+            tiles.append(overlay.astype(np.float32) / 255.0)
         cols = min(4, len(tiles))
         rows = -(-len(tiles) // cols)
         H, W = image.shape[:2]
@@ -332,6 +462,16 @@ class Segmenter:
         for i, t in enumerate(tiles):
             r, c = divmod(i, cols)
             grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = t
+        return grid
+
+    def _dump_candidate_grid(self, image: np.ndarray, candidates, prompt: str):
+        """Candidate-mask debug grid (the reference's observability-as-
+        testing artifact dumps, SURVEY.md §4 item 3)."""
+        from PIL import Image as PILImage
+
+        debug_dir = os.path.join(self.out_dir, "debug")
+        os.makedirs(debug_dir, exist_ok=True)
+        grid = self._candidate_grid_image(image, candidates)
         safe = "".join(ch if ch.isalnum() else "_" for ch in prompt)[:40]
         PILImage.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(debug_dir, f"candidates_{safe}.png"))
@@ -386,14 +526,59 @@ class Segmenter:
                                colors[1]: ~mask.astype(bool)})
         selected = self.select_points(points)
         views = self.render_views(selected)
-        view = self.choose_best_view(views, best_view)
-        prompts = self.name_parts(views, view, part_names,
-                                  n_parts=max(len(selected), 2))
-        cam = views[view]["camera"]
-        uv, _ = project_points(
-            np.asarray([selected[0]["position"]], np.float32), cam)
-        mask = self.segment_part(views[view]["clean"], list(prompts.values())[0],
-                                 marker_uv=tuple(uv[0]), chosen_index=mask_index)
+        joint = (self.mllm_masks and self.mllm is not None
+                 and mask_index is None and best_view is None
+                 and len(views) == 2)
+        if joint:
+            # cross-view JOINT selection (reference SimpleSegmenter
+            # select_parts_with_gpt, simple_segmenter.py:672-757):
+            # candidates on BOTH views, THINKING/ANSWER view choice,
+            # numbered-grid mask pick; a "not visible" verdict retries
+            # the other view before the geometric fallback.
+            prompts = self.name_parts(views, list(views)[0], part_names,
+                                      n_parts=max(len(selected), 2))
+            part0 = list(prompts.values())[0]
+            cands = {v: self.generate_candidates(views[v]["clean"], part0)
+                     for v in views}
+            if self.out_dir:
+                for v in views:
+                    self._dump_candidate_grid(views[v]["clean"], cands[v],
+                                              f"{part0}_{v}")
+            view = self.mllm_choose_view_joint(views, prompts) \
+                or next(iter(views))
+            order = [view] + [v for v in views if v != view]
+            mask = None
+            for v in order:
+                idx = self.mllm_select_candidate(
+                    views[v]["clean"], cands[v], part0, v,
+                    context_views=views)
+                if idx is not None:
+                    view, mask = v, cands[v][idx]
+                    break
+            if mask is None:              # model says invisible everywhere:
+                view = order[0]           # tightest marker-containing mask
+                cam0 = views[view]["camera"]
+                uv, _ = project_points(
+                    np.asarray([selected[0]["position"]], np.float32), cam0)
+                u, vpx = int(round(uv[0][0])), int(round(uv[0][1]))
+                pool = [m for m in cands[view]
+                        if 0 <= vpx < m.shape[0] and 0 <= u < m.shape[1]
+                        and m[vpx, u]] or cands[view]
+                mask = min(pool, key=lambda m: m.sum())
+            mask = dilate_mask(mask, self.mask_dilate_px)
+            cam = views[view]["camera"]
+        else:
+            view = self.choose_best_view(views, best_view)
+            prompts = self.name_parts(views, view, part_names,
+                                      n_parts=max(len(selected), 2))
+            cam = views[view]["camera"]
+            uv, _ = project_points(
+                np.asarray([selected[0]["position"]], np.float32), cam)
+            mask = self.segment_part(
+                views[view]["clean"], list(prompts.values())[0],
+                marker_uv=tuple(uv[0]), chosen_index=mask_index,
+                view_name=view,
+                context_views=views if self.mllm_masks else None)
         parts = self.split_and_export(mask, cam, prompts, view)
         colors = list(prompts)
         return SegmentationResult(

@@ -104,9 +104,13 @@ def main(argv=None):
                              "or --vertex-indices i j")
         # dilation is specified at the reference's 800px scale
         dilate = max(1, round(cfg.mask_dilate_px * args.resolution / 800))
+        # with --mllm, the model also makes the mask decision itself
+        # (numbered candidate grid + context views -> index), matching
+        # the reference's GPT-automatic segmentation
         seg = Segmenter(mesh, out_dir=cfg.segmentation_dir,
                         mllm=mllm, resolution=args.resolution,
-                        mask_dilate_px=dilate)
+                        mask_dilate_px=dilate,
+                        mllm_masks=mllm is not None)
         selected = seg.select_points(points)
         views = seg.render_views(selected)
         view = seg.choose_best_view(views, args.best_view)
@@ -128,7 +132,8 @@ def main(argv=None):
             u = float(camera.fx) * q[0] / q[2] + float(camera.cx) - 0.5
             v = float(camera.fy) * q[1] / q[2] + float(camera.cy) - 0.5
             mask = seg.segment_part(views[view]["clean"],
-                                    prompts[colors[0]], marker_uv=(u, v))
+                                    prompts[colors[0]], marker_uv=(u, v),
+                                    view_name=view, context_views=views)
             parts = seg.split_and_export(mask, camera, prompts, view)
         else:
             # Geometric 3D split by nearest seed point — the offline

@@ -329,6 +329,145 @@ def test_oblique_views_mode(tmp_path):
         assert np.isfinite(v["clean"]).all()
 
 
+# -- MLLM candidate-mask selection (interactive_segmenter.py:1054-1164) ----
+
+def _grid_views(m, seg):
+    sel = seg.select_points([[0.0, -0.3, 0.25], [0.0, -0.3, -0.25]])
+    return sel, seg.render_views(sel)
+
+
+def test_mllm_select_candidate_contract(tmp_path):
+    """Number parsing matches the reference: '2' -> index 1, '0' ->
+    None (part not visible), garbage / out-of-range -> 0 (top-ranked
+    fallback)."""
+    m = box_mesh((0.3, 0.3, 0.3))
+    img = np.ones((32, 32, 3), np.float32)
+    cands = [np.zeros((32, 32), bool) for _ in range(3)]
+    for i, c in enumerate(cands):
+        c[: 8 * (i + 1)] = True
+    for resp, expect in [("2", 1), ("0", None), ("banana", 0),
+                         ("7", 0), (" 3 \n", 2)]:
+        seg = Segmenter(m, mllm=ScriptedMLLM(
+            responses=[("select the best segmentation candidate", resp)]),
+            mllm_masks=True)
+        got = seg.mllm_select_candidate(img, cands, "box lid", "top")
+        assert got == expect, (resp, got, expect)
+
+
+def test_segment_part_mllm_decides(tmp_path):
+    """With mllm_masks on, the model's pick wins over the marker-
+    containment heuristic; a 'not visible' verdict falls back to it."""
+    m = box_mesh((0.4, 0.4, 0.4))
+    gen = TopHalfMaskGen()
+    img = np.ones((40, 40, 3), np.float32)
+    # model picks #2 (the full top half); marker at (5,5) would have
+    # chosen the tighter quarter-band
+    mllm = ScriptedMLLM(
+        responses=[("select the best segmentation candidate", "2")])
+    seg = Segmenter(m, mask_generator=gen, mllm=mllm, mllm_masks=True,
+                    mask_dilate_px=0)
+    mask = seg.segment_part(img, "box lid", marker_uv=(5.0, 5.0))
+    assert mask.sum() == 40 * 20          # the larger candidate
+    assert mllm.calls and mllm.calls[-1]["n_images"] == 1  # the grid
+
+    # 'not visible' (0) -> geometric fallback: tightest containing mask
+    mllm0 = ScriptedMLLM(
+        responses=[("select the best segmentation candidate", "0")])
+    seg0 = Segmenter(m, mask_generator=gen, mllm=mllm0, mllm_masks=True,
+                     mask_dilate_px=0)
+    mask0 = seg0.segment_part(img, "box lid", marker_uv=(5.0, 5.0))
+    assert mask0.sum() == 40 * 10         # the quarter band
+
+
+def test_mllm_choose_view_joint_parses_thinking_answer():
+    m = box_mesh((0.3, 0.3, 0.3))
+    mllm = ScriptedMLLM(responses=[(
+        "best view for segmentation",
+        "THINKING: top shows overlap of lid and body; bottom separates "
+        "them cleanly.\nANSWER: bottom_oblique")])
+    seg = Segmenter(m, mllm=mllm, mllm_masks=True)
+    views = {"top_oblique": {"marked": np.ones((8, 8, 3), np.float32)},
+             "bottom_oblique": {"marked": np.ones((8, 8, 3), np.float32)}}
+    got = seg.mllm_choose_view_joint(
+        views, {"RED": "box lid", "GREEN": "box body"})
+    assert got == "bottom_oblique"
+    assert mllm.calls[-1]["n_images"] == 2
+    # unparseable answer -> None (caller falls back)
+    seg2 = Segmenter(m, mllm=ScriptedMLLM(
+        responses=[("best view for segmentation", "ANSWER: sideways")]),
+        mllm_masks=True)
+    assert seg2.mllm_choose_view_joint(
+        views, {"RED": "a", "GREEN": "b"}) is None
+
+
+def test_segmenter_joint_cross_view_run(tmp_path):
+    """End-to-end 2-oblique-view run with the model choosing view+mask
+    jointly (reference SimpleSegmenter select_parts_with_gpt,
+    simple_segmenter.py:672-757): candidates generated on BOTH views,
+    THINKING/ANSWER view choice, numbered-grid pick on the chosen
+    view."""
+    m = box_mesh((0.4, 0.4, 0.4))
+    mllm = ScriptedMLLM(responses=[
+        ("Name each part", '{"RED": "box lid", "GREEN": "box body"}'),
+        ("best view for segmentation",
+         "THINKING: bottom separates them.\nANSWER: bottom_oblique"),
+        ("select the best segmentation candidate", "2"),
+    ])
+    seg = Segmenter(m, out_dir=str(tmp_path), mask_generator=TopHalfMaskGen(),
+                    mllm=mllm, mllm_masks=True, resolution=64,
+                    mask_dilate_px=1,
+                    view_names=["top_oblique", "bottom_oblique"])
+    res = seg.run(points=[[0.0, -0.4, 0.35], [0.0, -0.4, -0.35]])
+    assert res.best_view == "bottom_oblique"
+    assert set(res.parts) == {"RED", "GREEN"}
+    for color in ("RED", "GREEN"):
+        assert res.parts[color].faces.shape[0] > 0
+    # both views' candidate grids dumped (the reference's
+    # all_candidates_{view}.png debug artifacts)
+    dumps = os.listdir(tmp_path / "debug")
+    assert any("top_oblique" in d for d in dumps)
+    assert any("bottom_oblique" in d for d in dumps)
+    # mask pick queried the chosen view with both marked views as context
+    pick = [c for c in mllm.calls
+            if "select the best segmentation" in c["prompt"]]
+    assert len(pick) == 1 and pick[0]["n_images"] == 3
+
+
+def test_segmenter_joint_not_visible_tries_other_view(tmp_path):
+    """A 'not visible' (0) verdict on the chosen view retries the other
+    view before any geometric fallback."""
+    m = box_mesh((0.4, 0.4, 0.4))
+
+    class CountingMLLM(ScriptedMLLM):
+        pass
+
+    picks = iter(["0", "2"])
+    mllm = ScriptedMLLM(responses=[
+        ("Name each part", '{"RED": "box lid", "GREEN": "box body"}'),
+        ("best view for segmentation", "ANSWER: top_oblique"),
+    ], default="__dyn__")
+    orig_chat = mllm.chat
+
+    def chat(prompt, images=(), seed=None):
+        if "select the best segmentation candidate" in prompt:
+            mllm.calls.append({"prompt": prompt, "n_images": len(images),
+                               "seed": seed})
+            return next(picks)
+        return orig_chat(prompt, images, seed)
+
+    mllm.chat = chat
+    seg = Segmenter(m, out_dir=str(tmp_path), mask_generator=TopHalfMaskGen(),
+                    mllm=mllm, mllm_masks=True, resolution=64,
+                    mask_dilate_px=1,
+                    view_names=["top_oblique", "bottom_oblique"])
+    res = seg.run(points=[[0.0, -0.4, 0.35], [0.0, -0.4, -0.35]])
+    # first view said invisible -> second view's pick (#2) used
+    assert res.best_view == "bottom_oblique"
+    picked = [c for c in mllm.calls
+              if "select the best segmentation" in c["prompt"]]
+    assert len(picked) == 2
+
+
 # -- golden openbox parity (reference's shipped worked example) ------------
 
 _OPENBOX = "/root/reference/Articulation/openbox_output"
