@@ -89,35 +89,51 @@ def main():
           f"in-frame (z>0)", flush=True)
     assert inside > 0.5, "camera convention mismatch"
 
-    # init from the scanned object's surfaces
+    # init from the scanned object's surfaces (OPENBOX_INIT small =
+    # densification does the work — the VERDICT r2 "small init" config)
     lid = load_mesh(os.path.join(PARTS, "lid.glb"))
     extent = camera_extent(frames)
-    capacity = int(os.environ.get("OPENBOX_CAPACITY", 120_000))
-    n_init = min(30_000, capacity // 2)
+    # wedges are PROGRAM-KEYED (CLAUDE.md): fold the retry attempt into
+    # a static shape so a retry never resubmits a poisoned program
+    attempt = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
+    capacity = int(os.environ.get("OPENBOX_CAPACITY", 120_000)) + attempt
+    n_init = min(int(os.environ.get("OPENBOX_INIT", 30_000)), capacity // 2)
     pts = np.concatenate([
         body.sample_surface(n_init * 5 // 6, seed=0),
         lid.sample_surface(n_init // 6, seed=1)])
+    iters = int(os.environ.get("OPENBOX_ITERS", 3000))
     init = Gaussians.from_points(pts.astype(np.float32), sh_degree=2,
                                  capacity=capacity)
 
+    from robosimgs_tpu.train.densify import DensifyConfig
+    from robosimgs_tpu.train.optim import OptimConfig
+
     cfg = TrainConfig(
-        iterations=int(os.environ.get("OPENBOX_ITERS", 3000)),
+        iterations=iters,
         render=RenderConfig(tile_capacity=1024),
         impl="auto",
         background=(1.0, 1.0, 1.0),
         scene_extent=extent,
-        densify_from=300, densify_until=2400, densify_interval=150,
+        # lr-decay horizon tied to the schedule length (splatfacto
+        # scales means_lr_max_steps to max iterations the same way)
+        optim=OptimConfig(means_lr_max_steps=iters),
+        densify=DensifyConfig(grad_threshold=float(
+            os.environ.get("OPENBOX_GRAD_THRESH", 2.0e-4))),
+        densify_from=300,
+        densify_until=int(os.environ.get("OPENBOX_DENSIFY_UNTIL",
+                                         int(0.8 * iters))),
+        densify_interval=int(os.environ.get("OPENBOX_DENSIFY_INTERVAL", 150)),
         opacity_reset_interval=10_000,   # white bg: resets hurt at 6 views
         dynamic_pool=False,              # bound TPU recompiles
         log_every=100,
     )
     print(f"scene extent {extent:.2f}, init {len(pts)} pts, "
-          f"capacity {capacity}", flush=True)
+          f"capacity {capacity}, iters {iters}", flush=True)
 
     trainer = Trainer(cfg, init, train_frames, eval_frames=eval_frames)
     _pet()
     t0 = time.time()
-    trainer.run(progress=True)
+    trainer.run(progress=True, on_log=lambda m: _pet())
     _pet()
     dt = time.time() - t0
     it_s = cfg.iterations / dt
@@ -146,7 +162,10 @@ def main():
                    "iters_per_sec": it_s,
                    "iterations": cfg.iterations,
                    "views": len(train_frames),
-                   "resolution": [cam0.width, cam0.height]}, fh, indent=1)
+                   "capacity": capacity, "init_points": int(len(pts)),
+                   "final_alive": int(trainer.state.gaussians.num_alive),
+                   "resolution": [cam0.width, cam0.height],
+                   "history": trainer.history}, fh, indent=1)
     print(f"artifacts in {out_dir}", flush=True)
 
 
