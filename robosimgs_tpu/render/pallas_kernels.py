@@ -157,7 +157,11 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
     def _():
         out_ref[0] = acc_scr[:]
         tfin_ref[0] = lt_scr[:]      # LOG of final transmittance
-        nblk_ref[t, 0] = nb_scr[0]   # full-array SMEM block, row = tile
+        # per-tile (1,1) VMEM window, NOT a full-array SMEM block: the
+        # (T,1) SMEM layout lane-pads every row to 512 B, so at T>=2048
+        # tiles (800x800 = 2500) it exceeds the 1 MB SMEM budget and the
+        # whole kernel fails to compile
+        nblk_ref[0, 0] = nb_scr[0]
 
 
 def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
@@ -336,7 +340,7 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
         out_specs=[
             pl.BlockSpec((1, 8, P), lambda t, c, cnt: (t, 0, 0)),
             pl.BlockSpec((1, P, 1), lambda t, c, cnt: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda t, c, cnt: (t, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, P), jnp.float32),
