@@ -23,6 +23,7 @@ from typing import Callable, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from robosimgs_tpu.core.camera import Camera
@@ -301,3 +302,132 @@ def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
         return cache[treedef](state, camera, target)
 
     return train_step
+
+
+# -- densify / compaction under the gaussian-sharded pool ------------------
+# (SURVEY.md §7 hard parts #4/#5: "re-sharding after topology changes" —
+# without these the sharded trainers can only step a fixed pool, never
+# grow or shrink it, so the beyond-HBM config is a demo, not a trainer.)
+
+
+def make_sharded_densify_step(cfg: TrainConfig, mesh: Mesh) -> Callable:
+    """Densify/prune with the Gaussian pool sharded over 'data'.
+
+    PER-SHARD spawn with capacity kept shard-uniform: every shard runs
+    the single-device controller (train/densify.py::densify_and_prune —
+    elementwise grow/prune decisions, local argsort slot matching) on
+    its own capacity/n_shard slots, so the round is embarrassingly
+    parallel — zero collectives on the parameter arrays, only a scalar
+    psum for the accounting. Semantics vs the global controller: the
+    grow/prune DECISIONS are identical (they are per-gaussian
+    thresholds); only slot ASSIGNMENT is shard-local, so a full shard
+    saturates (highest-scoring candidates win, counted in the returned
+    info) even if another shard has free slots. The densify-boundary
+    compaction (make_sharded_compact) rebalances capacity; spawn
+    imbalance across shards is bounded by the spatially-interleaved
+    initial sharding.
+
+    RNG: the round key is folded with the shard index so split offsets
+    are independent across shards; state.key advances identically on
+    every shard (stays replicated).
+
+    Returns densify_step(state, enable_scale_prune=True) ->
+    (state, info) with info = {"requested", "spawned", "pruned"} summed
+    over shards — pool-saturation truncation is counted, never silent.
+    """
+    from robosimgs_tpu.train.densify import densify_and_prune
+    from robosimgs_tpu.train.optim import reset_slots_in_opt_state
+
+    cache = {}
+
+    def densify_step(state, enable_scale_prune: bool = True):
+        ck = (jax.tree_util.tree_structure(state), bool(enable_scale_prune))
+        if ck not in cache:
+            esp = bool(enable_scale_prune)
+
+            def per_device(state):
+                key, sub = jax.random.split(state.key)
+                sub = jax.random.fold_in(sub, jax.lax.axis_index("data"))
+                g, dstate, spawn, info = densify_and_prune(
+                    state.gaussians, state.densify_state, sub, cfg.densify,
+                    cfg.scene_extent, enable_scale_prune=esp,
+                    return_info=True)
+                opt_state = reset_slots_in_opt_state(state.opt_state, spawn)
+                info = {k: jax.lax.psum(v, "data") for k, v in info.items()}
+                new_state = dataclasses.replace(
+                    state, gaussians=g, opt_state=opt_state,
+                    densify_state=dstate, key=key)
+                return new_state, info
+
+            cap = state.gaussians.capacity
+            state_specs = _leading_dim_specs(
+                jax.eval_shape(lambda s: s, state), cap, "data")
+            info_specs = {"requested": P(), "spawned": P(), "pruned": P()}
+            sharded = jax.shard_map(
+                per_device, mesh=mesh, in_specs=(state_specs,),
+                out_specs=(state_specs, info_specs), check_vma=False)
+            cache[ck] = jax.jit(sharded, donate_argnums=(0,))
+        return cache[ck](state)
+
+    return densify_step
+
+
+def make_sharded_compact(mesh: Mesh) -> Callable:
+    """Alive-prefix compaction + pool resize under the sharded pool.
+
+    Each shard independently compacts its live Gaussians to a prefix
+    and slices/pads to `new_local_capacity` slots (shard-uniform, so
+    the global pool stays evenly sharded over 'data' — the re-sharding
+    after topology changes of SURVEY.md hard part #5 without any
+    cross-device traffic: relative order within a shard is preserved,
+    optimizer moments and densify stats move with their slots, exactly
+    train/densify.py::compact_and_resize per shard).
+
+    Callers pick new_local_capacity from the MAX per-shard alive count
+    (see sharded_pool_target) so no shard truncates; each distinct
+    value compiles once (bucket it like TrainConfig.pool_bucket).
+
+    Returns compact(state, new_local_capacity) -> state.
+    """
+    from robosimgs_tpu.train.densify import compact_and_resize
+
+    cache = {}
+
+    def compact(state, new_local_capacity: int):
+        ck = (jax.tree_util.tree_structure(state), int(new_local_capacity))
+        if ck not in cache:
+            nlc = int(new_local_capacity)
+
+            def per_device(state):
+                g, opt, d = compact_and_resize(
+                    state.gaussians, state.opt_state, state.densify_state,
+                    nlc)
+                return dataclasses.replace(state, gaussians=g, opt_state=opt,
+                                           densify_state=d)
+
+            cap = state.gaussians.capacity
+            in_specs = _leading_dim_specs(
+                jax.eval_shape(lambda s: s, state), cap, "data")
+            # compaction preserves the tree structure; only the leading
+            # (capacity) dim changes, so the same specs describe the out
+            sharded = jax.shard_map(per_device, mesh=mesh,
+                                    in_specs=(in_specs,),
+                                    out_specs=in_specs, check_vma=False)
+            cache[ck] = jax.jit(sharded)
+        return cache[ck](state)
+
+    return compact
+
+
+def sharded_pool_target(state, mesh: Mesh, headroom: float,
+                        bucket: int, local_max: int) -> int:
+    """Per-shard capacity for the next compaction: bucket-rounded
+    max-over-shards alive count with spawn headroom, clamped to
+    [bucket, local_max]. Syncs the device (call at densify boundaries
+    only, like Trainer._maybe_resize_pool)."""
+    n_shard = mesh.shape["data"]
+    alive = np.asarray(jax.device_get(state.gaussians.alive))
+    per_shard = alive.reshape(n_shard, -1).sum(1)
+    want = int(per_shard.max() * (1.0 + headroom)) + 1
+    want = -(-want // bucket) * bucket
+    return max(bucket, min(want, local_max))

@@ -89,8 +89,13 @@ def densify_and_prune(
     cfg: DensifyConfig,
     scene_extent: float,
     enable_scale_prune: bool = True,
+    return_info: bool = False,
 ) -> Tuple[Gaussians, DensifyState, jax.Array]:
-    """One densification round. Returns (gaussians, reset state, spawn_mask).
+    """One densification round. Returns (gaussians, reset state, spawn_mask);
+    with return_info=True additionally a {"requested", "spawned",
+    "pruned"} dict so pool-saturation truncation is counted, never
+    silent (repo convention) — the sharded trainer sums these over
+    shards into its densify metrics.
 
     enable_scale_prune: size-based pruning (scale/screen-radius caps)
     gates on cfg.prune_scale3d_after in the trainer — pruning large
@@ -164,6 +169,10 @@ def densify_and_prune(
                     alive=alive)
 
     spawn_mask = jnp.zeros((n,), bool).at[dst].set(do) | src_modified | prune
+    if return_info:
+        info = {"requested": n_req, "spawned": jnp.minimum(n_req, n_free),
+                "pruned": jnp.sum(prune)}
+        return new, DensifyState.zero(n), spawn_mask, info
     return new, DensifyState.zero(n), spawn_mask
 
 
