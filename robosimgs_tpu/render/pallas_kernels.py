@@ -157,11 +157,11 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
     def _():
         out_ref[0] = acc_scr[:]
         tfin_ref[0] = lt_scr[:]      # LOG of final transmittance
-        # per-tile (1,1) VMEM window, NOT a full-array SMEM block: the
-        # (T,1) SMEM layout lane-pads every row to 512 B, so at T>=2048
-        # tiles (800x800 = 2500) it exceeds the 1 MB SMEM budget and the
-        # whole kernel fails to compile
-        nblk_ref[0, 0] = nb_scr[0]
+        # 1-D (T,) full-array SMEM block (dense, 4 B/tile): the old
+        # 2-D (T,1) SMEM layout lane-padded every row to 512 B, so at
+        # T>=2048 tiles (800x800 = 2500) it exceeded the 1 MB SMEM
+        # budget and the whole kernel failed to compile
+        nblk_ref[t] = nb_scr[0]
 
 
 def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
@@ -314,7 +314,7 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
                          cfg: RenderConfig, interpret: bool | None = None,
                          n_tiles_per_image: int = 0, has_dlim: bool = True):
     """(T,8,K) geom/feat + (T,) counts + (T,P,1) depth limits ->
-    (out (T,8,P), log_t_final (T,P,1), n_blocks (T,1) int32).
+    (out (T,8,P), log_t_final (T,P,1), n_blocks (T,) int32).
 
     log_t_final is the LOG of each pixel's final transmittance over the
     processed blocks — exact even where linear T underflows f32 to 0 on
@@ -340,7 +340,7 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
         out_specs=[
             pl.BlockSpec((1, 8, P), lambda t, c, cnt: (t, 0, 0)),
             pl.BlockSpec((1, P, 1), lambda t, c, cnt: (t, 0, 0)),
-            pl.BlockSpec((1, 1), lambda t, c, cnt: (t, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, P), jnp.float32),
@@ -355,7 +355,7 @@ def composite_fwd_pallas(geom, feat, counts, dlim, *, tiles_x: int,
         out_shape=[
             jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
             jax.ShapeDtypeStruct((T, P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1), jnp.int32),
+            jax.ShapeDtypeStruct((T,), jnp.int32),
         ],
         interpret=interpret,
     )(counts, geom, feat, dlim)
