@@ -28,7 +28,9 @@ class Frame:
     camera: Camera
     image_path: Optional[str] = None
     image: Optional[np.ndarray] = None  # (H, W, 3) float32 in [0,1]
-    # lens distortion (k1, k2, p1, p2) of the CAPTURED image; applied
+    # lens distortion of the CAPTURED image — canonical 9-vector
+    # (k1, k2, p1, p2, k3, k4, k5, k6, fisheye), utils/undistort.py
+    # (legacy 4-vectors (k1, k2, p1, p2) still accepted); applied
     # (i.e. removed) at load time so `camera` is a true pinhole
     distortion: Optional[np.ndarray] = None
     # optional metric planar z-depth (H, W) float32, 0 = invalid — the
@@ -128,8 +130,15 @@ def parse_transforms_json(path: str, downscale: int = 1) -> List[Frame]:
         depth_path = fr.get("depth_file_path")
         if depth_path is not None:
             depth_path = os.path.join(root, depth_path)
+        # lens distortion (k1..k4/p1/p2 + camera_model, per-frame keys
+        # override the top level, like intrinsics): Frame.load applies
+        # the backward warp so downstream sees true pinhole images
+        from robosimgs_tpu.utils.undistort import distortion_from_meta
+        dist = distortion_from_meta(
+            {k: get(k) for k in ("camera_model", "k1", "k2", "k3", "k4",
+                                 "p1", "p2") if get(k) is not None})
         frames.append(Frame(camera=cam, image_path=img_path,
-                            depth_path=depth_path))
+                            depth_path=depth_path, distortion=dist))
     return frames
 
 

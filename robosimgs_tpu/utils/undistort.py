@@ -8,12 +8,24 @@ pinhole projection in `render/project.py` is wrong near the image
 borders. Round 1 only *warned* about nonzero coefficients
 (VERDICT r1 "What's missing" #6) — this module applies them.
 
-Model: the OpenCV radial-tangential polynomial, the superset of every
-camera model `utils/colmap.py` accepts::
+Models: the OpenCV radial-tangential RATIONAL polynomial and the
+OpenCV FISHEYE (equidistant) model — the superset of every camera
+model `utils/colmap.py` accepts::
 
-    SIMPLE_RADIAL (k1)  RADIAL (k1, k2)  OPENCV (k1, k2, p1, p2)
+    SIMPLE_RADIAL (k1)          RADIAL (k1, k2)
+    OPENCV (k1, k2, p1, p2)     FULL_OPENCV (k1..k6, p1, p2 rational)
+    OPENCV_FISHEYE (k1..k4)     SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE
 
-all normalized here to a 4-vector ``(k1, k2, p1, p2)``.
+all normalized here to a canonical 9-vector
+``(k1, k2, p1, p2, k3, k4, k5, k6, fisheye_flag)`` — the phone-capture
+COLMAP models the reference workflow implies
+(`/root/reference/README.md:73-78`). A plain ndarray (not a class) so
+`Frame.distortion` round-trips through numpy and the
+``any(|d| > eps)`` "is there distortion at all" guards keep working:
+the fisheye FLAG itself forces the warp, because a fisheye camera with
+all-zero coefficients is still the equidistant projection, not a
+pinhole. Length-4 vectors ``(k1, k2, p1, p2)`` are accepted everywhere
+for backward compatibility.
 
 Direction of the warp: the polynomial maps *ideal* (pinhole) normalized
 coordinates to *distorted* ones. Producing an undistorted image is
@@ -36,9 +48,24 @@ from __future__ import annotations
 import numpy as np
 
 
+def _expand(dist) -> np.ndarray:
+    """Any accepted distortion vector -> canonical 9-vector
+    (k1, k2, p1, p2, k3, k4, k5, k6, fisheye_flag)."""
+    v = np.asarray(dist, np.float64).ravel()
+    if v.shape[0] == 9:
+        return v
+    if v.shape[0] == 4:
+        return np.concatenate([v, np.zeros(5)])
+    raise ValueError(f"distortion vector must be length 4 or 9, got {v.shape}")
+
+
+def is_fisheye(dist) -> bool:
+    return bool(_expand(dist)[8] != 0.0)
+
+
 def normalize_distortion(model: str, params) -> np.ndarray:
-    """COLMAP per-model distortion params -> canonical (k1, k2, p1, p2)."""
-    p = np.zeros(4, np.float64)
+    """COLMAP per-model distortion params -> the canonical 9-vector."""
+    p = np.zeros(9, np.float64)
     vals = np.asarray(params, np.float64).ravel()
     if model in ("SIMPLE_PINHOLE", "PINHOLE"):
         pass
@@ -48,17 +75,71 @@ def normalize_distortion(model: str, params) -> np.ndarray:
         p[:2] = vals[:2]
     elif model == "OPENCV":
         p[: len(vals)] = vals[:4]
+    elif model == "FULL_OPENCV":
+        # COLMAP order: k1, k2, p1, p2, k3, k4, k5, k6 (rational model)
+        p[: len(vals)] = vals[:8]
+    elif model == "OPENCV_FISHEYE":
+        # COLMAP order: k1, k2, k3, k4 (theta-polynomial)
+        p[0], p[1] = vals[0], vals[1]
+        if len(vals) > 2:
+            p[4] = vals[2]
+        if len(vals) > 3:
+            p[5] = vals[3]
+        p[8] = 1.0
+    elif model == "SIMPLE_RADIAL_FISHEYE":
+        p[0] = vals[0]
+        p[8] = 1.0
+    elif model == "RADIAL_FISHEYE":
+        p[:2] = vals[:2]
+        p[8] = 1.0
     else:
         raise ValueError(f"unsupported distortion model {model}")
     return p
 
 
+def distortion_from_meta(meta: dict) -> np.ndarray:
+    """Nerfstudio transforms.json distortion keys -> canonical 9-vector.
+
+    Reads k1..k4, p1, p2 and camera_model ("OPENCV" default /
+    "OPENCV_FISHEYE"); returns None when every coefficient is absent or
+    zero AND the model is not fisheye."""
+    model = str(meta.get("camera_model", "OPENCV"))
+    ks = [float(meta.get(k, 0.0) or 0.0)
+          for k in ("k1", "k2", "k3", "k4")]
+    ps = [float(meta.get(k, 0.0) or 0.0) for k in ("p1", "p2")]
+    fisheye = "FISHEYE" in model.upper()
+    if not fisheye and not any(abs(v) > 1e-12 for v in ks + ps):
+        return None
+    p = np.zeros(9, np.float64)
+    p[0], p[1] = ks[0], ks[1]
+    p[4], p[5] = ks[2], ks[3]
+    if fisheye:
+        p[8] = 1.0
+    else:
+        p[2], p[3] = ps[0], ps[1]
+    return p
+
+
+def _fisheye_theta_d(theta: np.ndarray, k: np.ndarray) -> np.ndarray:
+    t2 = theta * theta
+    return theta * (1.0 + t2 * (k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3]))))
+
+
 def distort_normalized(xy: np.ndarray, dist: np.ndarray) -> np.ndarray:
     """Ideal normalized coords (..., 2) -> distorted normalized coords."""
-    k1, k2, p1, p2 = np.asarray(dist, np.float64)
-    x, y = xy[..., 0], xy[..., 1]
+    d = _expand(dist)
+    x, y = np.asarray(xy[..., 0], np.float64), np.asarray(xy[..., 1], np.float64)
+    if d[8] != 0.0:
+        # OpenCV fisheye (equidistant): r -> theta_d(atan(r)) / r
+        r = np.sqrt(x * x + y * y)
+        theta = np.arctan(r)
+        theta_d = _fisheye_theta_d(theta, d[[0, 1, 4, 5]])
+        scale = np.where(r > 1e-12, theta_d / np.maximum(r, 1e-12), 1.0)
+        return np.stack([x * scale, y * scale], axis=-1)
+    k1, k2, p1, p2, k3, k4, k5, k6 = d[:8]
     r2 = x * x + y * y
-    radial = 1.0 + r2 * (k1 + k2 * r2)
+    radial = ((1.0 + r2 * (k1 + r2 * (k2 + r2 * k3)))
+              / (1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))))
     xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
     yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
     return np.stack([xd, yd], axis=-1)
@@ -68,16 +149,33 @@ def undistort_points(xy_dist: np.ndarray, dist: np.ndarray,
                      iters: int = 10) -> np.ndarray:
     """Invert `distort_normalized` by fixed-point iteration.
 
-    x <- (xd - tangential(x)) / radial(x), starting from x = xd; the
-    scheme OpenCV's undistortPoints uses, convergent for the moderate
-    coefficients real captures have.
+    Radtan: x <- (xd - tangential(x)) / radial(x), starting from x = xd
+    (the scheme OpenCV's undistortPoints uses). Fisheye: Newton on the
+    odd theta-polynomial theta_d(theta) = r_d, then r = tan(theta).
+    Convergent for the moderate coefficients real captures have.
     """
-    k1, k2, p1, p2 = np.asarray(dist, np.float64)
-    xd, yd = xy_dist[..., 0], xy_dist[..., 1]
+    d = _expand(dist)
+    xd, yd = (np.asarray(xy_dist[..., 0], np.float64),
+              np.asarray(xy_dist[..., 1], np.float64))
+    if d[8] != 0.0:
+        k = d[[0, 1, 4, 5]]
+        rd = np.sqrt(xd * xd + yd * yd)
+        theta = rd.copy()
+        for _ in range(iters):
+            t2 = theta * theta
+            f = _fisheye_theta_d(theta, k) - rd
+            df = 1.0 + t2 * (3 * k[0] + t2 * (5 * k[1] + t2 * (7 * k[2]
+                                                               + t2 * 9 * k[3])))
+            theta = theta - f / np.maximum(df, 1e-9)
+        r = np.tan(theta)
+        scale = np.where(rd > 1e-12, r / np.maximum(rd, 1e-12), 1.0)
+        return np.stack([xd * scale, yd * scale], axis=-1)
+    k1, k2, p1, p2, k3, k4, k5, k6 = d[:8]
     x, y = xd.copy(), yd.copy()
     for _ in range(iters):
         r2 = x * x + y * y
-        radial = 1.0 + r2 * (k1 + k2 * r2)
+        radial = ((1.0 + r2 * (k1 + r2 * (k2 + r2 * k3)))
+                  / (1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))))
         dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
         x = (xd - dx) / radial

@@ -235,8 +235,121 @@ def test_colmap_distortion_wired_to_frames(tmp_path):
     Image.fromarray(raw).save(tmp_path / "img.png")
 
     frames, _, _ = load_colmap(str(sparse), images_dir=str(tmp_path))
-    np.testing.assert_allclose(frames[0].distortion, [-0.2, 0, 0, 0])
+    np.testing.assert_allclose(frames[0].distortion,
+                               [-0.2, 0, 0, 0, 0, 0, 0, 0, 0])
     loaded = frames[0].load()
     assert loaded.shape == (48, 64, 3)
     # the warp must actually have moved pixels (k1 != 0)
     assert np.abs(loaded - raw.astype(np.float32) / 255.0).max() > 0.01
+
+
+def test_fisheye_distort_roundtrip_and_semantics():
+    """OPENCV_FISHEYE: roundtrip through the Newton inversion, plus the
+    defining property that ZERO coefficients still warp (equidistant
+    r -> atan(r), not pinhole)."""
+    from robosimgs_tpu.utils.undistort import (distort_normalized,
+                                               is_fisheye,
+                                               normalize_distortion,
+                                               undistort_points)
+
+    dist = normalize_distortion("OPENCV_FISHEYE",
+                                [-0.03, 0.012, -0.004, 0.0008])
+    assert is_fisheye(dist) and dist.shape == (9,)
+    rng = np.random.default_rng(1)
+    xy = rng.uniform(-0.8, 0.8, (300, 2))
+    xyd = distort_normalized(xy, dist)
+    np.testing.assert_allclose(undistort_points(xyd, dist), xy, atol=1e-9)
+
+    zero = normalize_distortion("OPENCV_FISHEYE", [0.0, 0.0, 0.0, 0.0])
+    pt = np.array([[0.6, -0.4]])
+    out = distort_normalized(pt, zero)
+    r = np.hypot(*pt[0])
+    np.testing.assert_allclose(np.hypot(*out[0]), np.arctan(r), atol=1e-12)
+    # and the flag alone trips the "is there distortion" guards
+    assert np.any(np.abs(zero) > 1e-12)
+
+
+def test_full_opencv_rational_roundtrip():
+    """FULL_OPENCV k1..k6 rational model roundtrips (k3/k4 support,
+    VERDICT r2 missing #4)."""
+    from robosimgs_tpu.utils.undistort import (distort_normalized,
+                                               normalize_distortion,
+                                               undistort_points)
+
+    dist = normalize_distortion(
+        "FULL_OPENCV", [-0.2, 0.05, 0.001, -0.002, -0.008, 0.1, -0.03, 0.004])
+    rng = np.random.default_rng(2)
+    xy = rng.uniform(-0.5, 0.5, (300, 2))
+    xyd = distort_normalized(xy, dist)
+    np.testing.assert_allclose(undistort_points(xyd, dist, iters=20), xy,
+                               atol=1e-7)
+    # legacy 4-vectors still accepted, same result as their 9-expansion
+    d4 = np.array([-0.1, 0.02, 0.001, -0.001])
+    d9 = np.concatenate([d4, np.zeros(5)])
+    np.testing.assert_array_equal(distort_normalized(xy, d4),
+                                  distort_normalized(xy, d9))
+
+
+def test_fisheye_undistort_image_recovers_pinhole():
+    """Backward-warp an OPENCV_FISHEYE capture onto the pinhole grid."""
+    from robosimgs_tpu.utils.undistort import (normalize_distortion,
+                                               undistort_image,
+                                               undistort_points)
+
+    h, w = 96, 128
+    fx = fy = 110.0
+    cx, cy = w / 2, h / 2
+    dist = normalize_distortion("OPENCV_FISHEYE", [0.05, -0.01, 0.002, 0.0])
+
+    def scene(x, y):
+        return np.stack([0.5 + 0.4 * np.sin(4 * x) * np.cos(3 * y),
+                         0.5 + 0.3 * np.cos(5 * x + 2 * y),
+                         0.5 + 0.35 * np.sin(2 * x - 3 * y)], -1)
+
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    xn, yn = (u + 0.5 - cx) / fx, (v + 0.5 - cy) / fy
+    ideal = scene(xn, yn).astype(np.float32)
+    xy_ideal = undistort_points(np.stack([xn, yn], -1), dist)
+    captured = scene(xy_ideal[..., 0], xy_ideal[..., 1]).astype(np.float32)
+    out = undistort_image(captured, fx, fy, cx, cy, dist)
+    m = 12
+    err = np.abs(out[m:-m, m:-m] - ideal[m:-m, m:-m]).max()
+    assert err < 0.01, err
+
+
+def test_transforms_json_distortion_parsed(tmp_path):
+    """transforms.json k1/k2/p1/p2 (+ per-frame override and fisheye
+    camera_model) land on Frame.distortion."""
+    import json
+
+    from robosimgs_tpu.train.data import parse_transforms_json
+
+    meta = {
+        "camera_model": "OPENCV",
+        "k1": -0.1, "k2": 0.02, "p1": 0.001, "p2": -0.002,
+        "fl_x": 100.0, "fl_y": 100.0, "cx": 32.0, "cy": 32.0,
+        "w": 64, "h": 64,
+        "frames": [
+            {"file_path": "a.png",
+             "transform_matrix": np.eye(4).tolist()},
+            {"file_path": "b.png", "camera_model": "OPENCV_FISHEYE",
+             "k1": 0.03, "k2": 0.0, "k3": 0.0, "k4": 0.0,
+             "transform_matrix": np.eye(4).tolist()},
+        ],
+    }
+    p = tmp_path / "transforms.json"
+    p.write_text(json.dumps(meta))
+    frames = parse_transforms_json(str(p))
+    d0 = frames[0].distortion
+    np.testing.assert_allclose(d0[:4], [-0.1, 0.02, 0.001, -0.002])
+    assert d0[8] == 0.0
+    d1 = frames[1].distortion
+    assert d1[8] == 1.0 and d1[0] == 0.03
+    # undistorted default: no distortion keys at all -> None
+    meta2 = {k: v for k, v in meta.items()
+             if k not in ("k1", "k2", "p1", "p2")}
+    meta2["frames"] = [meta["frames"][0]]
+    p2 = tmp_path / "t2.json"
+    p2.write_text(json.dumps(meta2))
+    assert parse_transforms_json(str(p2))[0].distortion is None
