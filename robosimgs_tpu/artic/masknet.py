@@ -110,41 +110,109 @@ def _ellipsoid(rng: np.random.Generator, sub: int = 2):
     return (v * rng.uniform(0.15, 0.5, 3)).astype(np.float32), f
 
 
+def _box_at(s) -> Tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned box with half-extents s, centered at the origin."""
+    v = np.array([[x, y, z] for x in (-s[0], s[0]) for y in (-s[1], s[1])
+                  for z in (-s[2], s[2])], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return v, f
+
+
+def _flap_assembly(rng: np.random.Generator):
+    """Open-box-with-hinged-flap pair — the articulated-scan geometry
+    (a thin lid attached at one edge of a box, opened at a random
+    angle) the openbox capture exemplifies; the default box/ellipsoid
+    assemblies never produce THIN parts, which is exactly where the v3
+    model under-segmented. Returns [(verts, faces), ...] with 2 parts
+    (body walls = part 0, flap = part 1)."""
+    # body: 4 thin walls + floor (an OPEN box, so the flap is visible
+    # against the interior like a real opened container)
+    sx, sy, sz = rng.uniform(0.3, 0.6), rng.uniform(0.35, 0.7), \
+        rng.uniform(0.12, 0.3)
+    t = rng.uniform(0.015, 0.05)          # wall thickness
+    walls = []
+    for cx, hx, cy, hy in ((-sx, t, 0, sy), (sx, t, 0, sy),
+                           (0, sx, -sy, t), (0, sx, sy, t)):
+        v, f = _box_at(np.array([hx, hy, sz]))
+        walls.append((v + np.array([cx, cy, 0], np.float32), f))
+    floor_v, floor_f = _box_at(np.array([sx, sy, t]))
+    walls.append((floor_v + np.array([0, 0, -sz], np.float32), floor_f))
+    bv = np.concatenate([w[0] for w in walls])
+    bf = np.concatenate([w[1] + 8 * i for i, w in enumerate(walls)])
+    # flap: thin plate hinged at the +x top edge, opened by a random
+    # angle about that edge (0.2 rad = nearly closed .. 2.8 = flat open)
+    fl = rng.uniform(0.7, 1.4) * sx       # flap length
+    fw = sy * rng.uniform(0.9, 1.1)
+    ft = rng.uniform(0.01, 0.035)
+    pv, pf = _box_at(np.array([fl / 2, fw, ft]))
+    pv = pv + np.array([fl / 2, 0, 0], np.float32)   # hinge edge at x=0
+    ang = rng.uniform(0.2, 2.8)
+    ca, sa = np.cos(ang), np.sin(ang)
+    R = np.array([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]], np.float32)
+    pv = pv @ R.T + np.array([sx, 0, sz], np.float32)
+    normal = R @ np.array([0, 0, 1], np.float32)  # flap plate normal
+    return [(bv, bf), (pv, pf)], normal
+
+
 def make_scene(seed: int, size: int, max_parts: int = 3,
-               scan_like: bool = False):
+               scan_like: bool = False, flap: bool = False):
     """Random multi-part assembly rendered with the Segmenter's own
     rasterizer+shading. Returns (image (S,S,3) f32, part_id (S,S) int32
     with -1 = background).
 
     scan_like=True draws all part albedos from a narrow light palette
     (real scans like the reference's openbox are near-uniform white-ish
-    — the net must segment from shading/silhouette edges, not color)."""
+    — the net must segment from shading/silhouette edges, not color).
+    flap=True generates an open-box-with-hinged-thin-flap pair instead
+    of free-floating primitives (the articulated-scan geometry)."""
     from robosimgs_tpu.artic.render_views import shade, view_camera
     from robosimgs_tpu.render.mesh_raster import (MeshRasterConfig,
                                                   rasterize_mesh)
     from robosimgs_tpu.utils.meshio import Mesh, concatenate
 
     rng = np.random.default_rng(seed)
-    n_parts = int(rng.integers(2, max_parts + 1))
     parts, face_part = [], []
-    for p in range(n_parts):
-        v, f = _box(rng) if rng.random() < 0.6 else _ellipsoid(rng)
-        # random rotation (QR of a Gaussian) + offset so parts touch
-        R = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
-        v = v @ R.T + rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+    view_bias = None
+
+    def color(rng):
         if scan_like:
             base = rng.uniform(0.55, 0.85)
-            color = np.clip(base + rng.uniform(-0.08, 0.08, 3),
-                            0.0, 1.0).astype(np.float32)
-        else:
-            color = rng.uniform(0.15, 0.95, 3).astype(np.float32)
+            return np.clip(base + rng.uniform(-0.08, 0.08, 3),
+                           0.0, 1.0).astype(np.float32)
+        return rng.uniform(0.15, 0.95, 3).astype(np.float32)
+
+    if flap:
+        geo, normal = _flap_assembly(rng)
+        # one rigid rotation of the WHOLE assembly (the hinge contact
+        # must survive), random viewpoint handles the rest
+        R = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+        geo = [(v @ R.T, f, color(rng)) for v, f in geo]
+        # bias the camera toward the flap's face (a thin plate is a
+        # useless 1-px label edge-on; real captures look AT the lid)
+        view_bias = (R @ normal) * float(rng.choice([-1.0, 1.0]))
+    else:
+        # rng draw ORDER here is load-bearing: it reproduces the scene
+        # stream the checked-in weights were trained/evaluated on
+        n_parts = int(rng.integers(2, max_parts + 1))
+        geo = []
+        for p in range(n_parts):
+            v, f = _box(rng) if rng.random() < 0.6 else _ellipsoid(rng)
+            # random rotation (QR of a Gaussian) + offset so parts touch
+            R = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+            v = v @ R.T + rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+            geo.append((v, f, color(rng)))
+    for p, (v, f, col) in enumerate(geo):
         parts.append(Mesh(vertices=v.astype(np.float32), faces=f,
-                          vertex_colors=np.tile(color, (len(v), 1))))
+                          vertex_colors=np.tile(col, (len(v), 1))))
         face_part.append(np.full((len(f),), p, np.int32))
     mesh = concatenate(parts)
     face_part = np.concatenate(face_part)
 
     direction = rng.normal(size=3)
+    if view_bias is not None:
+        direction = view_bias + 0.45 * direction
     direction /= np.linalg.norm(direction)
     cam = view_camera(mesh, direction, size,
                       fov_deg=float(rng.uniform(40, 60)),
@@ -166,16 +234,37 @@ def prompt_heatmap(size: int, u: float, v: float, sigma: float = 4.0):
 
 
 def sample_example(rng: np.random.Generator, img: np.ndarray,
-                   part_id: np.ndarray):
-    """(image, part_id) -> (input (S,S,4), target (S,S) f32)."""
+                   part_id: np.ndarray, crop_aug: bool = False):
+    """(image, part_id) -> (input (S,S,4), target (S,S) f32).
+
+    crop_aug: with probability 1/2, train on a random square crop
+    centered near the prompt point and resized back to S — the
+    distribution MaskNetGenerator's multi-scale prompted inference
+    actually feeds the net."""
     size = img.shape[0]
     present = np.unique(part_id[part_id >= 0])
     p = int(rng.choice(present))
     ys, xs = np.nonzero(part_id == p)
     i = int(rng.integers(len(ys)))
-    heat = prompt_heatmap(size, float(xs[i]), float(ys[i]))
+    u, v = float(xs[i]), float(ys[i])
+    tgt = (part_id == p).astype(np.float32)
+    if crop_aug and rng.random() < 0.5:
+        side = int(size * rng.uniform(0.3, 0.8))
+        x0 = int(np.clip(u - side / 2 + rng.uniform(-side / 4, side / 4),
+                         0, size - side))
+        y0 = int(np.clip(v - side / 2 + rng.uniform(-side / 4, side / 4),
+                         0, size - side))
+        img = np.asarray(jax.image.resize(
+            jnp.asarray(img[y0:y0 + side, x0:x0 + side], jnp.float32),
+            (size, size, 3), "linear"))
+        tgt = np.asarray(jax.image.resize(
+            jnp.asarray(tgt[y0:y0 + side, x0:x0 + side]),
+            (size, size), "nearest"))
+        u = np.clip((u - x0) * size / side, 0, size - 1)
+        v = np.clip((v - y0) * size / side, 0, size - 1)
+    heat = prompt_heatmap(size, u, v)
     x = np.concatenate([img, heat[..., None]], axis=-1).astype(np.float32)
-    return x, (part_id == p).astype(np.float32)
+    return x, tgt
 
 
 # -- training ---------------------------------------------------------------
@@ -197,21 +286,35 @@ def train_masknet(
     seed: int = 0,
     log_every: int = 0,
     progress: Optional[Callable[[int], None]] = None,
+    init_params: Optional[dict] = None,
+    flap_frac: float = 0.0,
+    crop_aug: bool = False,
 ) -> MaskNetTrainResult:
     """Train MaskUNet on synthetic assemblies; returns params + held-out
-    prompt-mask IoU (scenes unseen during training)."""
+    prompt-mask IoU (scenes unseen during training).
+
+    init_params: warm-start weights (fine-tuning). flap_frac: fraction
+    of open-box-with-hinged-flap scenes (the articulated-scan geometry,
+    see _flap_assembly); crop_aug: random prompt-centered crop
+    augmentation matching multi-scale prompted inference."""
     import optax
 
     rng = np.random.default_rng(seed)
-    # 1/3 scan-like low-contrast scenes (real scans segment on shading)
-    scenes = [make_scene(1000 + s, size, scan_like=(s % 3 == 2))
-              for s in range(n_scenes)]
-    holdout = [make_scene(999_000 + s, size, scan_like=(s % 3 == 2))
-               for s in range(12)]
+
+    def mk(base, s):
+        # 1/3 scan-like low-contrast scenes (real scans segment on
+        # shading); flap scenes lean scan-like even harder (2/3)
+        is_flap = (s % 100) < int(flap_frac * 100)
+        scan = (s % 3 != 0) if is_flap else (s % 3 == 2)
+        return make_scene(base + s, size, scan_like=scan, flap=is_flap)
+
+    scenes = [mk(1000, s) for s in range(n_scenes)]
+    holdout = [mk(999_000, s) for s in range(12)]
 
     model = MaskUNet()
     key = jax.random.PRNGKey(seed)
-    params = model.init(key, jnp.zeros((1, size, size, 4)))
+    params = (init_params if init_params is not None
+              else model.init(key, jnp.zeros((1, size, size, 4))))
     tx = optax.adamw(optax.cosine_decay_schedule(lr, steps))
     opt_state = tx.init(params)
 
@@ -235,7 +338,7 @@ def train_masknet(
         xs, ys = [], []
         for _ in range(batch):
             img, pid = scenes[int(rng.integers(len(scenes)))]
-            x, y = sample_example(rng, img, pid)
+            x, y = sample_example(rng, img, pid, crop_aug=crop_aug)
             xs.append(x)
             ys.append(y)
         params, opt_state, loss = train_step(
@@ -304,7 +407,57 @@ class MaskNetGenerator:
         self._apply = jax.jit(
             lambda x: jax.nn.sigmoid(model.apply(self.params, x)))
 
-    def generate(self, image: np.ndarray) -> List[np.ndarray]:
+    def generate(self, image: np.ndarray,
+                 point: Optional[Tuple[float, float]] = None
+                 ) -> List[np.ndarray]:
+        """Automatic grid candidates; with `point` (full-res (u, v)),
+        point-prompted candidates at multiple crop scales around it come
+        FIRST — SAM's interactive mode, which the reference segmenter
+        drives with the user's click (`interactive_segmenter.py`). The
+        crops recover thin parts (an open lid seen at a shallow angle)
+        that vanish at the 96^2 full-frame working size."""
+        out = self._prompted(image, point) if point is not None else []
+        out.extend(self._automatic(image))
+        return out
+
+    def _prompted(self, image: np.ndarray,
+                  point: Tuple[float, float]) -> List[np.ndarray]:
+        H, W = image.shape[:2]
+        S = self.size
+        u0, v0 = float(point[0]), float(point[1])
+        cands: List[np.ndarray] = []
+        for scale in (1.0, 0.5, 0.25):
+            side = max(int(round(scale * max(H, W))), S // 2)
+            x0 = int(np.clip(round(u0 - side / 2), 0, max(W - side, 0)))
+            y0 = int(np.clip(round(v0 - side / 2), 0, max(H - side, 0)))
+            x1, y1 = min(x0 + side, W), min(y0 + side, H)
+            crop = image[y0:y1, x0:x1]
+            ch, cw = crop.shape[:2]
+            small = np.asarray(jax.image.resize(
+                jnp.asarray(crop, jnp.float32), (S, S, 3), "linear"))
+            pu = (u0 - x0) * S / cw
+            pv = (v0 - y0) * S / ch
+            x = np.concatenate([small, prompt_heatmap(S, pu, pv)[..., None]],
+                               -1)[None]
+            prob = np.asarray(self._apply(jnp.asarray(x)))[0]
+            m = prob > self.threshold
+            if m.sum() < self.min_area_px:
+                continue
+            back = np.asarray(jax.image.resize(
+                jnp.asarray(m.astype(np.float32)), (ch, cw),
+                "nearest")) > 0.5
+            full = np.zeros((H, W), bool)
+            full[y0:y1, x0:x1] = back
+            cands.append(full)
+        # dedup across scales (keep the sharpest = smallest-crop first)
+        keep: List[np.ndarray] = []
+        for m in reversed(cands):
+            if not any((m & k).sum() / max((m | k).sum(), 1) > self.nms_iou
+                       for k in keep):
+                keep.append(m)
+        return keep
+
+    def _automatic(self, image: np.ndarray) -> List[np.ndarray]:
         H, W = image.shape[:2]
         S = self.size
         small = np.asarray(jax.image.resize(

@@ -73,8 +73,11 @@ def shade(mesh: Mesh, camera: Camera) -> np.ndarray:
 def render_view(mesh: Mesh, camera: Camera,
                 markers: Optional[Sequence[Tuple[np.ndarray, Tuple[float, float, float]]]] = None,
                 mesh_cfg: MeshRasterConfig = MeshRasterConfig(tile_capacity=1024),
-                background: float = 1.0) -> np.ndarray:
-    """Render one shaded view; markers are (world_point, rgb) dots."""
+                background: float = 1.0, return_depth: bool = False):
+    """Render one shaded view; markers are (world_point, rgb) dots.
+    With return_depth, returns (img, depth (H, W), +inf on background) —
+    the z-buffer the Segmenter's geometric view scoring samples for
+    seed-point visibility."""
     face_colors = shade(mesh, camera)
     out = rasterize_mesh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
                          camera, face_colors=jnp.asarray(face_colors),
@@ -82,9 +85,11 @@ def render_view(mesh: Mesh, camera: Camera,
     rgb = np.asarray(out["rgb"])
     mask = np.asarray(out["mask"])
     img = np.where(mask[..., None], rgb, background).astype(np.float32)
+    depth = np.asarray(out["depth"])
     if markers:
-        depth = np.asarray(out["depth"])
         img = _draw_markers(img, depth, camera, markers)
+    if return_depth:
+        return img, depth
     return img
 
 
@@ -128,9 +133,10 @@ def render_canonical_views(
     for name in names:
         direction = ALL_DIRECTIONS[name]
         cam = view_camera(mesh, direction, resolution, fov_deg, distance_factor)
-        clean = render_view(mesh, cam)
+        clean, depth = render_view(mesh, cam, return_depth=True)
         marked = render_view(mesh, cam, markers=markers) if markers else clean
-        views[name] = {"camera": cam, "clean": clean, "marked": marked}
+        views[name] = {"camera": cam, "clean": clean, "marked": marked,
+                       "depth": depth}
         K = np.array([[float(cam.fx), 0, float(cam.cx)],
                       [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
         cam_params[name] = {

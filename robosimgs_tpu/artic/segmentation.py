@@ -61,21 +61,52 @@ def project_points(points: np.ndarray, camera: Camera) -> Tuple[np.ndarray, np.n
     return np.stack([u, v], -1), in_front
 
 
-def split_mesh_by_mask(mesh: Mesh, mask: np.ndarray, camera: Camera
+def split_mesh_by_mask(mesh: Mesh, mask: np.ndarray, camera: Camera,
+                       depth: Optional[np.ndarray] = None
                        ) -> Tuple[Mesh, Mesh, np.ndarray]:
     """Split by projecting face centroids into a (H, W) bool mask.
 
-    Faces whose centroid lands inside the mask go to part A; everything
-    else (including out-of-view faces) to part B — the reference's
-    assignment rule, vectorized. Returns (part_a, part_b, face_in_a).
-    """
+    Without `depth`: faces whose centroid lands inside the mask go to
+    part A; everything else (including out-of-view faces) to part B —
+    the reference's assignment rule
+    (interactive_segmenter.py:1354-1420), vectorized.
+
+    With `depth` (the view's z-buffer): VISIBILITY-AWARE split — only
+    faces the camera actually sees take their label from the mask;
+    occluded / out-of-view faces inherit the label of the nearest
+    visible centroid. This fixes the reference rule's systematic error
+    that everything BEHIND a part (the box wall behind an open lid)
+    falls into its mask and gets mis-assigned, while self-occluded
+    back faces of the part itself still label correctly.
+
+    Returns (part_a, part_b, face_in_a)."""
     H, W = mask.shape
-    uv, in_front = project_points(mesh.face_centroids(), camera)
+    cent = mesh.face_centroids()
+    uv, in_front = project_points(cent, camera)
     ui = np.round(uv[:, 0]).astype(np.int64)
     vi = np.round(uv[:, 1]).astype(np.int64)
     in_bounds = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & in_front
+    uic = np.clip(ui, 0, W - 1)
+    vic = np.clip(vi, 0, H - 1)
     hit = np.zeros(mesh.faces.shape[0], bool)
-    hit[in_bounds] = mask[vi[in_bounds], ui[in_bounds]]
+    hit[in_bounds] = mask[vic[in_bounds], uic[in_bounds]]
+    if depth is not None:
+        w2c = np.asarray(camera.w2c)
+        z = cent @ w2c[2, :3] + w2c[2, 3]
+        dz = depth[vic, uic]
+        visible = in_bounds & np.isfinite(dz) & (z <= dz * 1.01 + 1e-4)
+        if visible.any() and not visible.all():
+            lab = np.nonzero(visible)[0]
+            if len(lab) > 5000:                       # bound the NN cost
+                lab = lab[np.linspace(0, len(lab) - 1, 5000).astype(int)]
+            lab_c = cent[lab].astype(np.float32)
+            lab_hit = hit[lab]
+            todo = np.nonzero(~visible)[0]
+            for s in range(0, len(todo), 2048):       # chunked argmin NN
+                idx = todo[s:s + 2048]
+                d2 = ((cent[idx].astype(np.float32)[:, None, :]
+                       - lab_c[None]) ** 2).sum(-1)
+                hit[idx] = lab_hit[d2.argmin(1)]
     return mesh.submesh(hit), mesh.submesh(~hit), hit
 
 
@@ -192,10 +223,13 @@ class Segmenter:
     # -- stage 3: best-view choice ---------------------------------------
 
     def choose_best_view(self, views: Dict[str, Dict],
-                         best_view: Optional[str] = None) -> str:
+                         best_view: Optional[str] = None,
+                         selected: Optional[Sequence[Dict]] = None) -> str:
         if best_view is not None:
             return best_view
         if self.mllm is None:
+            if selected and len(selected) >= 2:
+                return self._choose_view_geometric(views, selected)
             return "top"
         names = list(views)
         prompt = (
@@ -208,6 +242,66 @@ class Segmenter:
         resp = with_retry(lambda seed: self.mllm.chat(prompt, imgs, seed=seed))
         view = extract_json(resp)["view"].lower()
         return view if view in views else names[0]
+
+    def _choose_view_geometric(self, views: Dict[str, Dict],
+                               selected: Sequence[Dict]) -> str:
+        """Headless best-view scoring (the MLLM's view decision replayed
+        geometrically): assign every vertex to its nearest seed point (a
+        cheap part proxy), and for each view count the 8x8-px cells
+        covered by each part's VISIBLE vertices (z-buffer test against
+        the view's depth). Score = the SMALLEST part's visible projected
+        area, zeroed if any seed point itself is occluded — an edge-on
+        or hidden part (the openbox lid from 'top') scores ~0 and the
+        view where every part is maskable wins."""
+        verts = np.asarray(self.mesh.vertices, np.float64)
+        seeds = np.stack([np.asarray(s["position"], np.float64)
+                          for s in selected])
+        if len(verts) > 20000:
+            sub = verts[np.linspace(0, len(verts) - 1, 20000).astype(int)]
+        else:
+            sub = verts
+        d2 = ((sub[:, None, :] - seeds[None]) ** 2).sum(-1)
+        part = d2.argmin(1)                              # (V,)
+        best_name, best_score = next(iter(views)), -1.0
+        for name, v in views.items():
+            cam, depth = v["camera"], v.get("depth")
+            if depth is None:
+                continue
+            H, W = depth.shape
+            w2c = np.asarray(cam.w2c, np.float64)
+            p = sub @ w2c[:3, :3].T + w2c[:3, 3]
+            z = p[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = p[:, 0] / z * float(cam.fx) + float(cam.cx) - 0.5
+                vv = p[:, 1] / z * float(cam.fy) + float(cam.cy) - 0.5
+            ui = np.clip(np.round(u).astype(int), 0, W - 1)
+            vi = np.clip(np.round(vv).astype(int), 0, H - 1)
+            inb = (z > 0) & (u >= 0) & (u < W) & (vv >= 0) & (vv < H)
+            slack = 0.02 * float(np.median(z[inb])) if inb.any() else 0.0
+            visible = inb & (z <= depth[vi, ui] + slack)
+            # seed visibility gate
+            ps = seeds @ w2c[:3, :3].T + w2c[:3, 3]
+            zs = ps[:, 2]
+            ok = zs > 0
+            us = np.where(ok, ps[:, 0] / np.where(ok, zs, 1) * float(cam.fx)
+                          + float(cam.cx) - 0.5, -1)
+            vs = np.where(ok, ps[:, 1] / np.where(ok, zs, 1) * float(cam.fy)
+                          + float(cam.cy) - 0.5, -1)
+            seeds_ok = (ok & (us >= 0) & (us < W) & (vs >= 0) & (vs < H))
+            if seeds_ok.all():
+                usi = np.clip(np.round(us).astype(int), 0, W - 1)
+                vsi = np.clip(np.round(vs).astype(int), 0, H - 1)
+                seeds_ok &= zs <= depth[vsi, usi] + slack
+            if not seeds_ok.all():
+                score = 0.0
+            else:
+                cell = (vi // 8) * (W // 8 + 1) + ui // 8
+                score = min(
+                    len(np.unique(cell[visible & (part == k)]))
+                    for k in range(len(seeds)))
+            if score > best_score:
+                best_name, best_score = name, float(score)
+        return best_name
 
     # -- stage 4: part naming --------------------------------------------
 
@@ -239,7 +333,9 @@ class Segmenter:
     # -- stage 5: mask generation + selection ----------------------------
 
     def generate_candidates(self, image: np.ndarray,
-                            prompt: Optional[str] = None) -> List[np.ndarray]:
+                            prompt: Optional[str] = None,
+                            marker_uv: Optional[Tuple[float, float]] = None
+                            ) -> List[np.ndarray]:
         """Generate + area-filter candidate masks, ranked best-first by
         the scorer when one is configured (the reference presents
         CLIP-sorted candidates to the model,
@@ -260,7 +356,17 @@ class Segmenter:
                     "weights found — pass mask_generator= or run "
                     "scripts/train_masknet.py")
             self.mask_generator = MaskNetGenerator()
-        candidates = self.mask_generator.generate(image)
+        if marker_uv is not None:
+            # point-prompted generation (SAM's interactive mode — the
+            # reference clicks the part): generators that accept a
+            # prompt point produce marker-focused candidates first
+            try:
+                candidates = self.mask_generator.generate(image,
+                                                          point=marker_uv)
+            except TypeError:
+                candidates = self.mask_generator.generate(image)
+        else:
+            candidates = self.mask_generator.generate(image)
         hw = image.shape[0] * image.shape[1]
         candidates = [m for m in candidates
                       if self.min_mask_area * hw <= m.sum() <= self.max_mask_area * hw]
@@ -376,8 +482,9 @@ class Segmenter:
                      chosen_index: Optional[int] = None,
                      view_name: str = "view",
                      context_views: Optional[Dict[str, Dict]] = None,
-                     candidates: Optional[List[np.ndarray]] = None
-                     ) -> np.ndarray:
+                     candidates: Optional[List[np.ndarray]] = None,
+                     exclude_uvs: Optional[Sequence[Tuple[float, float]]]
+                     = None) -> np.ndarray:
         """Generate candidate masks, rank, pick (scripted index, MLLM,
         marker containment, scorer rank), dilate.
 
@@ -386,9 +493,18 @@ class Segmenter:
         largest. If the MLLM answers "not visible" (None) the marker /
         scorer fallbacks apply — callers doing cross-view selection
         should use generate_candidates + mllm_select_candidate directly
-        (see run())."""
+        (see run()).
+
+        The marker-containment pool prefers candidates that contain
+        `marker_uv` AND exclude every `exclude_uvs` (the OTHER parts'
+        markers — strong discriminative signal the headless flow gets
+        for free); within the pool, candidates are ranked by boundary-
+        edge alignment (a good mask's boundary follows shading
+        discontinuities; an under-/over-shooting one cuts flat regions),
+        tightest as the tie-break."""
         if candidates is None:
-            candidates = self.generate_candidates(image, prompt)
+            candidates = self.generate_candidates(image, prompt,
+                                                  marker_uv=marker_uv)
         if self.out_dir:
             self._dump_candidate_grid(image, candidates, prompt)
         best = None
@@ -403,25 +519,52 @@ class Segmenter:
             # idx None = "part not visible" -> geometric fallbacks below
         if best is None:
             if marker_uv is not None:
-                u, v = int(round(marker_uv[0])), int(round(marker_uv[1]))
-                containing = [m for m in candidates
-                              if 0 <= v < m.shape[0] and 0 <= u < m.shape[1]
-                              and m[v, u]]
-                pool = containing or candidates
-                best = min(pool, key=lambda m: m.sum())  # tightest containing
+                best = self._pick_by_markers(image, candidates, marker_uv,
+                                             exclude_uvs)
             elif self.scorer is not None:
                 best = candidates[0]      # already ranked best-first
             else:
                 best = max(candidates, key=lambda m: m.sum())
         return dilate_mask(best, self.mask_dilate_px)
 
+    @staticmethod
+    def _edge_quality(image: np.ndarray, mask: np.ndarray) -> float:
+        """Mean image-gradient magnitude along the mask boundary —
+        model-free segmentation-quality proxy (0 on blank images)."""
+        gray = image.mean(-1).astype(np.float32)
+        gx = cv2.Sobel(gray, cv2.CV_32F, 1, 0, ksize=3)
+        gy = cv2.Sobel(gray, cv2.CV_32F, 0, 1, ksize=3)
+        mag = np.hypot(gx, gy)
+        mu = mask.astype(np.uint8)
+        k = np.ones((3, 3), np.uint8)
+        boundary = (cv2.dilate(mu, k) > 0) & (cv2.erode(mu, k) == 0)
+        if not boundary.any():
+            return 0.0
+        return float(mag[boundary].mean())
+
+    def _pick_by_markers(self, image, candidates, marker_uv, exclude_uvs):
+        def inside(m, uv):
+            u, v = int(round(uv[0])), int(round(uv[1]))
+            return 0 <= v < m.shape[0] and 0 <= u < m.shape[1] and m[v, u]
+
+        containing = [m for m in candidates if inside(m, marker_uv)]
+        if containing and exclude_uvs:
+            clean = [m for m in containing
+                     if not any(inside(m, uv) for uv in exclude_uvs)]
+            containing = clean or containing
+        pool = containing or candidates
+        return max(pool, key=lambda m: (self._edge_quality(image, m),
+                                        -int(m.sum())))
+
     # -- stage 6: split + export -----------------------------------------
 
     def split_and_export(self, mask: np.ndarray, camera: Camera,
-                         prompts: Dict[str, str], view_name: str
+                         prompts: Dict[str, str], view_name: str,
+                         depth: Optional[np.ndarray] = None
                          ) -> Dict[str, Mesh]:
         colors = list(prompts)
-        part_a, part_b, _ = split_mesh_by_mask(self.mesh, mask, camera)
+        part_a, part_b, _ = split_mesh_by_mask(self.mesh, mask, camera,
+                                               depth=depth)
         if part_a.faces.shape[0] == 0 or part_b.faces.shape[0] == 0:
             raise ValueError(
                 "degenerate split: one part has no faces — the mask covers "
@@ -514,11 +657,13 @@ class Segmenter:
                     ((cv, m) for cv, m in cached["masks"].items()
                      if cv[0] == list(prompts)[0])), ((None, None), None))
                 if mask is not None:
-                    cam = render_canonical_views(
+                    vr = render_canonical_views(
                         self.mesh, resolution=self.resolution,
-                        view_names=[view])[view]["camera"]
-                    parts = self.split_and_export(mask.astype(bool), cam,
-                                                  prompts, view)
+                        view_names=[view])[view]
+                    parts = self.split_and_export(mask.astype(bool),
+                                                  vr["camera"], prompts,
+                                                  view,
+                                                  depth=vr.get("depth"))
                     colors = list(prompts)
                     return SegmentationResult(
                         parts=parts, prompts=prompts, best_view=view,
@@ -568,18 +713,21 @@ class Segmenter:
             mask = dilate_mask(mask, self.mask_dilate_px)
             cam = views[view]["camera"]
         else:
-            view = self.choose_best_view(views, best_view)
+            view = self.choose_best_view(views, best_view, selected=selected)
             prompts = self.name_parts(views, view, part_names,
                                       n_parts=max(len(selected), 2))
             cam = views[view]["camera"]
-            uv, _ = project_points(
-                np.asarray([selected[0]["position"]], np.float32), cam)
+            all_uv, _ = project_points(
+                np.asarray([s["position"] for s in selected], np.float32),
+                cam)
             mask = self.segment_part(
                 views[view]["clean"], list(prompts.values())[0],
-                marker_uv=tuple(uv[0]), chosen_index=mask_index,
+                marker_uv=tuple(all_uv[0]), chosen_index=mask_index,
                 view_name=view,
-                context_views=views if self.mllm_masks else None)
-        parts = self.split_and_export(mask, cam, prompts, view)
+                context_views=views if self.mllm_masks else None,
+                exclude_uvs=[tuple(u) for u in all_uv[1:]])
+        parts = self.split_and_export(mask, cam, prompts, view,
+                                      depth=views[view].get("depth"))
         colors = list(prompts)
         return SegmentationResult(
             parts=parts, prompts=prompts, best_view=view,

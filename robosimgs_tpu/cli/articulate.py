@@ -113,7 +113,7 @@ def main(argv=None):
                         mllm_masks=mllm is not None)
         selected = seg.select_points(points)
         views = seg.render_views(selected)
-        view = seg.choose_best_view(views, args.best_view)
+        view = seg.choose_best_view(views, args.best_view, selected=selected)
         camera = views[view]["camera"]
         prompts = seg.name_parts(views, view, args.part_names)
 
@@ -123,18 +123,22 @@ def main(argv=None):
             # learned mask-driven split (the reference's SAM flow,
             # interactive_segmenter.py:140-165): prompt the mask model
             # at the first (movable) seed projected into the chosen
-            # view, then split faces by the selected mask
+            # view, then split faces by the selected mask; the other
+            # seeds' projections are exclusion markers for the pick
             from robosimgs_tpu.artic.masknet import MaskNetGenerator
+            from robosimgs_tpu.artic.segmentation import project_points
             seg.mask_generator = MaskNetGenerator()
-            p0 = np.asarray(selected[0]["position"], np.float32)
-            w2c = np.asarray(camera.w2c)
-            q = w2c[:3, :3] @ p0 + w2c[:3, 3]
-            u = float(camera.fx) * q[0] / q[2] + float(camera.cx) - 0.5
-            v = float(camera.fy) * q[1] / q[2] + float(camera.cy) - 0.5
+            all_uv, _ = project_points(
+                np.asarray([s["position"] for s in selected], np.float32),
+                camera)
             mask = seg.segment_part(views[view]["clean"],
-                                    prompts[colors[0]], marker_uv=(u, v),
-                                    view_name=view, context_views=views)
-            parts = seg.split_and_export(mask, camera, prompts, view)
+                                    prompts[colors[0]],
+                                    marker_uv=tuple(all_uv[0]),
+                                    view_name=view, context_views=views,
+                                    exclude_uvs=[tuple(u)
+                                                 for u in all_uv[1:]])
+            parts = seg.split_and_export(mask, camera, prompts, view,
+                                         depth=views[view].get("depth"))
         else:
             # Geometric 3D split by nearest seed point — the offline
             # default. Mask artifacts are derived from the split for

@@ -25,14 +25,28 @@ def main():
     import jax
 
     from robosimgs_tpu.artic.masknet import (DEFAULT_WEIGHTS,
-                                             MaskNetGenerator, make_scene,
-                                             save_params, train_masknet)
+                                             MaskNetGenerator, load_params,
+                                             make_scene, save_params,
+                                             train_masknet)
 
-    print(f"backend={jax.default_backend()} steps={steps} size={size}",
-          flush=True)
+    # MASKNET_FINETUNE=1: warm-start from the checked-in weights and
+    # train on the v4 mix (40% open-box hinged-flap scenes = the
+    # articulated-scan geometry, prompt-centered crop augmentation
+    # matching multi-scale prompted inference), lower lr
+    finetune = bool(int(os.environ.get("MASKNET_FINETUNE", "0")))
+    init = load_params(size=size) if finetune else None
+
+    print(f"backend={jax.default_backend()} steps={steps} size={size} "
+          f"finetune={finetune}", flush=True)
     t0 = time.time()
-    res = train_masknet(steps=steps, size=size, batch=16, n_scenes=160,
-                        log_every=50, seed=0)
+    res = train_masknet(steps=steps, size=size, batch=16,
+                        n_scenes=int(os.environ.get("MASKNET_SCENES", 160)),
+                        log_every=50, seed=int(os.environ.get(
+                            "MASKNET_SEED", 0)),
+                        init_params=init,
+                        lr=5e-4 if finetune else 2e-3,
+                        flap_frac=0.4 if finetune else 0.0,
+                        crop_aug=finetune)
     print(f"trained in {time.time()-t0:.0f}s; holdout prompt-mask IoU "
           f"{res.holdout_iou:.3f}", flush=True)
 
