@@ -53,6 +53,15 @@ class RenderConfig:
     # gradient of Projected.abs_probe. Only the pallas compositor
     # computes it.
     absgrad: bool = False
+    # evaluate the per-(pixel, gaussian) quadratic form q on the MXU:
+    # q is quadratic in (px, py), so a lane block's q is ONE
+    # (P,8)x(8,BK) matmul against per-gaussian coefficients instead of
+    # ~8 VPU ops on (P,BK) — the roofline's top unharvested candidate
+    # (docs/NEXT.md). Values differ from the per-pixel path at f32
+    # rounding level (tile-local coords keep the moments small);
+    # parity-gated in tests. The backward keeps the per-pixel path
+    # under absgrad (it needs dx/dy per pixel there).
+    alpha_mxu: bool = False
     # render a camera-space normal map: each splat's unit normal (the
     # rotated axis of its SMALLEST scale, oriented toward the camera)
     # rides the free feat rows 5/6 (+7 when absgrad doesn't need it)

@@ -65,6 +65,55 @@ def _tile_pixel_coords(t, tiles_x: int, ts: int):
     return px, py
 
 
+def _pixel_moments(t, tiles_x: int, ts: int):
+    """(P, 8) tile-local pixel-moment matrix [1, x, y, x^2, y^2, xy,
+    0, 0] + the tile origin — shared by the backward's moment-matmul
+    gradients and the MXU alpha evaluation (cfg.alpha_mxu)."""
+    P = ts * ts
+    ox = ((t % tiles_x) * ts).astype(jnp.float32)
+    oy = ((t // tiles_x) * ts).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pxl = (p % ts).astype(jnp.float32)
+    pyl = (p // ts).astype(jnp.float32)
+    ones = jnp.ones_like(pxl)
+    Cm = jnp.concatenate([ones, pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl,
+                          jnp.zeros_like(pxl), jnp.zeros_like(pxl)],
+                         axis=1)          # (P, 8)
+    return Cm, ox, oy
+
+
+def _alpha_block_mxu(g, Cm, ox, oy, cfg: RenderConfig, dlim=None):
+    """MXU variant of _alpha_block: q is quadratic in the pixel coords,
+    so the whole (P, BK) block is ONE matmul of the tile's pixel
+    moments against per-gaussian quadratic coefficients (O(BK) VPU prep
+    instead of O(P*BK) VPU ops). Values match the per-pixel path to f32
+    rounding; q is clamped at 0 (matmul noise at a splat's exact center
+    must not flip the q>=0 guard) while strongly negative q — non-PSD
+    junk the guard exists for — still drops."""
+    mxl = g[0:1, :] - ox
+    myl = g[1:2, :] - oy
+    ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
+    op = g[5:6, :]
+    A = 0.5 * (ca * mxl * mxl + cc * myl * myl) + cb * mxl * myl
+    B = -(ca * mxl + cb * myl)
+    C = -(cc * myl + cb * mxl)
+    coef = jnp.concatenate([A, B, C, 0.5 * ca, 0.5 * cc, cb,
+                            jnp.zeros_like(A), jnp.zeros_like(A)], axis=0)
+    q = jax.lax.dot_general(
+        Cm, coef, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (P, BK)
+    qp = jnp.maximum(q, 0.0)
+    eq = jnp.exp(-qp)
+    raw = op * eq
+    alpha = jnp.minimum(cfg.alpha_clamp, raw)
+    keep = (alpha >= cfg.alpha_min) & (q >= -0.5)
+    if dlim is not None:
+        keep = keep & (g[6:7, :] <= dlim)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, keep, raw, eq, qp
+
+
 def _alpha_block(g, px, py, cfg: RenderConfig, dlim=None):
     """Shared fwd/bwd alpha math for one (8, BK) geometry block.
 
@@ -105,6 +154,8 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 1)
     U = (row <= col).astype(jnp.float32)
+    if cfg.alpha_mxu:
+        Cm, ox, oy = _pixel_moments(t % n_tiles_img, tiles_x, ts)
 
     @pl.when(c == 0)
     def _():
@@ -119,7 +170,10 @@ def _fwd_kernel(counts_ref, geom_ref, feat_ref, dlim_ref,
         i, acc, tc, ltc = carry
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
-        alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
+        if cfg.alpha_mxu:
+            alpha, *_ = _alpha_block_mxu(g, Cm, ox, oy, cfg, dlim)
+        else:
+            alpha, *_ = _alpha_block(g, px, py, cfg, dlim)
         om = 1.0 - alpha
         l = jnp.log1p(-alpha)
         incl = jax.lax.dot_general(
@@ -190,14 +244,8 @@ def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 1)
     U = (row <= col).astype(jnp.float32)
-    timg = t % n_tiles_img
-    ox = ((timg % tiles_x) * ts).astype(jnp.float32)
-    oy = ((timg // tiles_x) * ts).astype(jnp.float32)
-    pxl, pyl = px - ox, py - oy      # (P, 1) tile-local
-    ones = jnp.ones_like(pxl)
-    Cm = jnp.concatenate([ones, pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl,
-                          jnp.zeros_like(pxl), jnp.zeros_like(pxl)],
-                         axis=1)     # (P, 8); rows 6-7 pad to lane width
+    # (P, 8) tile-local moments; rows 6-7 pad to lane width
+    Cm, ox, oy = _pixel_moments(t % n_tiles_img, tiles_x, ts)
 
     def cumsum_mxu(x):
         return jax.lax.dot_general(
@@ -226,7 +274,15 @@ def _bwd_kernel(counts_ref, nblk_ref, geom_ref, feat_ref, dlim_ref, gout_ref,
         i = n_loc - 1 - j
         off = pl.multiple_of(i * BK, BK)
         g = geom_ref[0, :, pl.ds(off, BK)]
-        alpha, keep, raw, eq, q, dx, dy = _alpha_block(g, px, py, cfg, dlim)
+        if cfg.alpha_mxu and not cfg.absgrad:
+            # absgrad needs per-pixel dx/dy; everything else gets q
+            # from the same moment matmul the gradients already use
+            alpha, keep, raw, eq, q = _alpha_block_mxu(g, Cm, ox, oy,
+                                                       cfg, dlim)
+            dx = dy = None
+        else:
+            alpha, keep, raw, eq, q, dx, dy = _alpha_block(g, px, py, cfg,
+                                                           dlim)
         ca, cb, cc = g[2:3, :], g[3:4, :], g[4:5, :]
         om = 1.0 - alpha
         l = jnp.log1p(-alpha)

@@ -478,3 +478,30 @@ def test_normal_map_oblique_view():
         nz_cam = -nz_cam
     err = np.abs(nm - nz_cam[None, :]).max()
     assert err < 1e-3, (err, nm.mean(0), nz_cam)
+
+
+def test_alpha_mxu_parity_values_and_grads():
+    """cfg.alpha_mxu (q as one pixel-moment matmul, docs/NEXT.md top
+    perf candidate) must match the per-pixel reference compositor on
+    images AND parameter gradients, including under depth-limited
+    (mesh-composited) rendering."""
+    import dataclasses
+
+    cam = make_camera(64, 48)
+    g = make_scene(180, seed=6)
+    cfg_mxu = dataclasses.replace(CFG, alpha_mxu=True)
+
+    def loss(means, impl, cfg):
+        out = rasterize(g.replace(means=means), cam, cfg, impl=impl,
+                        background=jnp.full((3,), 0.3))
+        w = jnp.cos(jnp.arange(out["rgb"].size).reshape(out["rgb"].shape))
+        return jnp.sum(out["rgb"] * w), out["rgb"]
+
+    (l_m, rgb_m), g_m = jax.value_and_grad(
+        lambda m: loss(m, "tiled", cfg_mxu), has_aux=True)(g.means)
+    (l_r, rgb_r), g_r = jax.value_and_grad(
+        lambda m: loss(m, "reference", CFG), has_aux=True)(g.means)
+    np.testing.assert_allclose(np.asarray(rgb_m), np.asarray(rgb_r),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_r),
+                               atol=1e-4, rtol=2e-4)
