@@ -80,8 +80,11 @@ def main():
     # (M=12 BBOX=0 reproduces the plain path).
     m_kept = int(os.environ.get("RSGS_BENCH_M", "10"))
     m_bbox = int(os.environ.get("RSGS_BENCH_BBOX", "12"))
+    # RSGS_BENCH_ALPHA_MXU=1 measures the MXU alpha-eval variant
+    # (render/pallas_kernels._alpha_block_mxu; parity-gated in tests)
+    a_mxu = bool(int(os.environ.get("RSGS_BENCH_ALPHA_MXU", "0")))
     cfg = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=m_kept,
-                       bbox_tiles_per_gaussian=m_bbox)
+                       bbox_tiles_per_gaussian=m_bbox, alpha_mxu=a_mxu)
     cfg_lossless = RenderConfig(tile_capacity=5120, tile_chunk=512,
                                 max_tiles_per_gaussian=12)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, RES, RES)

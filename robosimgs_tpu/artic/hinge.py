@@ -53,11 +53,21 @@ def _min_dists(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray
 
 class HingeDetector:
     def __init__(self, part_a: Mesh, part_b: Mesh,
-                 contact_margin: float = 0.01):
-        """contact_margin: added to the min inter-part distance (meters)."""
+                 contact_margin: float = 0.01, trim: int = 0):
+        """contact_margin: added to the min inter-part distance (meters).
+
+        trim: robust contact-PCA iterations — after each axis fit, drop
+        contact points whose perpendicular distance to the fitted hinge
+        LINE exceeds 2x the median, then refit. A mask-driven split
+        that mislabels a band of faces along the junction produces fake
+        contact pairs off the true hinge line; trimming recovers the
+        line (no-op on clean geometric splits, where every contact
+        point already lies on it). 0 = exact reference semantics
+        (hinge_detector.py:27-95)."""
         self.a = part_a
         self.b = part_b
         self.margin = contact_margin
+        self.trim = trim
 
     def detect(self) -> HingeResult:
         va = jnp.asarray(self.a.vertices)
@@ -76,12 +86,28 @@ class HingeDetector:
                                confidence=0.0, contact_count_a=0,
                                contact_count_b=0)
 
-        pos = (ca.mean(0) + cb.mean(0)) / 2.0
         contact = np.concatenate([ca, cb], 0)
-        centered = contact - contact.mean(0)
-        cov = centered.T @ centered / max(len(contact) - 1, 1)
-        eigvals, eigvecs = np.linalg.eigh(cov)       # ascending
-        axis = eigvecs[:, -1]
+        from_a = np.zeros(len(contact), bool)
+        from_a[: len(ca)] = True
+
+        def fit(points):
+            centered = points - points.mean(0)
+            cov = centered.T @ centered / max(len(points) - 1, 1)
+            eigvals, eigvecs = np.linalg.eigh(cov)   # ascending
+            return eigvals, eigvecs[:, -1], centered
+
+        eigvals, axis, centered = fit(contact)
+        for _ in range(self.trim):
+            perp = np.linalg.norm(
+                centered - np.outer(centered @ axis, axis), axis=1)
+            ok = perp <= max(2.0 * np.median(perp), 1e-9)
+            if ok.all() or ok.sum() < 8 or not (from_a[ok].any()
+                                                and (~from_a)[ok].any()):
+                break
+            contact, from_a = contact[ok], from_a[ok]
+            eigvals, axis, centered = fit(contact)
+        ca_t, cb_t = contact[from_a], contact[~from_a]
+        pos = (ca_t.mean(0) + cb_t.mean(0)) / 2.0
         total = eigvals.sum()
         confidence = float(eigvals[-1] / total) if total > 1e-12 else 0.0
         if confidence < 0.5:

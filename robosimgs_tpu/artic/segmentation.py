@@ -62,7 +62,8 @@ def project_points(points: np.ndarray, camera: Camera) -> Tuple[np.ndarray, np.n
 
 
 def split_mesh_by_mask(mesh: Mesh, mask: np.ndarray, camera: Camera,
-                       depth: Optional[np.ndarray] = None
+                       depth: Optional[np.ndarray] = None,
+                       mask_b: Optional[np.ndarray] = None
                        ) -> Tuple[Mesh, Mesh, np.ndarray]:
     """Split by projecting face centroids into a (H, W) bool mask.
 
@@ -95,19 +96,42 @@ def split_mesh_by_mask(mesh: Mesh, mask: np.ndarray, camera: Camera,
         z = cent @ w2c[2, :3] + w2c[2, 3]
         dz = depth[vic, uic]
         visible = in_bounds & np.isfinite(dz) & (z <= dz * 1.01 + 1e-4)
-        if visible.any() and not visible.all():
-            lab = np.nonzero(visible)[0]
-            if len(lab) > 5000:                       # bound the NN cost
-                lab = lab[np.linspace(0, len(lab) - 1, 5000).astype(int)]
-            lab_c = cent[lab].astype(np.float32)
-            lab_hit = hit[lab]
-            todo = np.nonzero(~visible)[0]
-            for s in range(0, len(todo), 2048):       # chunked argmin NN
-                idx = todo[s:s + 2048]
-                d2 = ((cent[idx].astype(np.float32)[:, None, :]
-                       - lab_c[None]) ** 2).sum(-1)
-                hit[idx] = lab_hit[d2.argmin(1)]
+        if mask_b is not None:
+            # TWO-mask split (the reference keeps a mask per color,
+            # simple_segmenter segmentation_results): part B's mask
+            # carves ambiguity out of A's — a visible face BOTH masks
+            # claim (the junction band where A's dilation bleeds onto
+            # B's surface) is unlabeled and propagates from the nearest
+            # confident face in 3D; everywhere else the single-mask
+            # complement rule stands.
+            hit_b = np.zeros(mesh.faces.shape[0], bool)
+            hit_b[in_bounds] = mask_b[vic[in_bounds], uic[in_bounds]]
+            confident = visible & ~(hit & hit_b)
+        else:
+            confident = visible
+        hit = _propagate_nearest(cent, hit, confident)
     return mesh.submesh(hit), mesh.submesh(~hit), hit
+
+
+def _propagate_nearest(cent: np.ndarray, hit: np.ndarray,
+                       labeled: np.ndarray) -> np.ndarray:
+    """Unlabeled faces inherit the nearest labeled centroid's label
+    (chunked argmin NN, labeled set subsampled to bound cost)."""
+    if not labeled.any() or labeled.all():
+        return hit
+    hit = hit.copy()
+    lab = np.nonzero(labeled)[0]
+    if len(lab) > 5000:
+        lab = lab[np.linspace(0, len(lab) - 1, 5000).astype(int)]
+    lab_c = cent[lab].astype(np.float32)
+    lab_hit = hit[lab]
+    todo = np.nonzero(~labeled)[0]
+    for s in range(0, len(todo), 2048):
+        idx = todo[s:s + 2048]
+        d2 = ((cent[idx].astype(np.float32)[:, None, :]
+               - lab_c[None]) ** 2).sum(-1)
+        hit[idx] = lab_hit[d2.argmin(1)]
+    return hit
 
 
 def split_mesh_by_points(mesh: Mesh, points: np.ndarray
@@ -560,11 +584,12 @@ class Segmenter:
 
     def split_and_export(self, mask: np.ndarray, camera: Camera,
                          prompts: Dict[str, str], view_name: str,
-                         depth: Optional[np.ndarray] = None
+                         depth: Optional[np.ndarray] = None,
+                         mask_b: Optional[np.ndarray] = None
                          ) -> Dict[str, Mesh]:
         colors = list(prompts)
         part_a, part_b, _ = split_mesh_by_mask(self.mesh, mask, camera,
-                                               depth=depth)
+                                               depth=depth, mask_b=mask_b)
         if part_a.faces.shape[0] == 0 or part_b.faces.shape[0] == 0:
             raise ValueError(
                 "degenerate split: one part has no faces — the mask covers "
@@ -574,7 +599,7 @@ class Segmenter:
         if self.out_dir:
             np.save(os.path.join(self.out_dir, f"mask_{colors[0]}_{view_name}.npy"),
                     mask)
-            inv = ~mask
+            inv = ~mask if mask_b is None else mask_b
             np.save(os.path.join(self.out_dir, f"mask_{colors[1]}_{view_name}.npy"),
                     inv)
             for color, mesh in parts.items():
@@ -660,17 +685,26 @@ class Segmenter:
                     vr = render_canonical_views(
                         self.mesh, resolution=self.resolution,
                         view_names=[view])[view]
-                    parts = self.split_and_export(mask.astype(bool),
-                                                  vr["camera"], prompts,
-                                                  view,
-                                                  depth=vr.get("depth"))
                     colors = list(prompts)
+                    mb = cached["masks"].get((colors[1], view))
+                    # a saved complement carries no extra signal; only a
+                    # real second-part mask re-enters the two-mask split
+                    if mb is not None and (mb.astype(bool)
+                                           == ~mask.astype(bool)).all():
+                        mb = None
+                    parts = self.split_and_export(
+                        mask.astype(bool), vr["camera"], prompts, view,
+                        depth=vr.get("depth"),
+                        mask_b=None if mb is None else mb.astype(bool))
                     return SegmentationResult(
                         parts=parts, prompts=prompts, best_view=view,
                         masks={colors[0]: mask.astype(bool),
-                               colors[1]: ~mask.astype(bool)})
+                               colors[1]: (~mask.astype(bool)
+                                           if mb is None
+                                           else mb.astype(bool))})
         selected = self.select_points(points)
         views = self.render_views(selected)
+        mask_b = None
         joint = (self.mllm_masks and self.mllm is not None
                  and mask_index is None and best_view is None
                  and len(views) == 2)
@@ -726,9 +760,30 @@ class Segmenter:
                 view_name=view,
                 context_views=views if self.mllm_masks else None,
                 exclude_uvs=[tuple(u) for u in all_uv[1:]])
+            # second-part mask (the reference keeps a mask PER color):
+            # where both masks agree the split is confident; the
+            # junction band they disagree on propagates in 3D. Only
+            # trusted when it actually contains its own marker.
+            if (mask_index is None and len(selected) >= 2
+                    and not (self.mllm_masks and self.mllm is not None)):
+                try:
+                    mb = self.segment_part(
+                        views[view]["clean"], list(prompts.values())[1],
+                        marker_uv=tuple(all_uv[1]), view_name=view,
+                        exclude_uvs=[tuple(all_uv[0])]
+                        + [tuple(u) for u in all_uv[2:]])
+                    ub, vb = (int(round(all_uv[1][0])),
+                              int(round(all_uv[1][1])))
+                    if (0 <= vb < mb.shape[0] and 0 <= ub < mb.shape[1]
+                            and mb[vb, ub]):
+                        mask_b = mb
+                except ValueError:
+                    pass
         parts = self.split_and_export(mask, cam, prompts, view,
-                                      depth=views[view].get("depth"))
+                                      depth=views[view].get("depth"),
+                                      mask_b=mask_b)
         colors = list(prompts)
         return SegmentationResult(
             parts=parts, prompts=prompts, best_view=view,
-            masks={colors[0]: mask, colors[1]: ~mask})
+            masks={colors[0]: mask,
+                   colors[1]: ~mask if mask_b is None else mask_b})

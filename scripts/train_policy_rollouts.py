@@ -101,7 +101,9 @@ def main():
     push = np.maximum(1.6 * radius, d) / np.maximum(d, 1e-6)
     bg = bg.replace(means=jnp.asarray(m * push + center, jnp.float32))
 
-    RES = 64
+    # POLICY_RES=96 runs the policy at its native observation size
+    # (VERDICT r2 #8); default keeps the CPU-friendly 64
+    RES = int(os.environ.get("POLICY_RES", 64))
     n_eps, ep_len = 64, 40
     rng = np.random.default_rng(0)
     cache = os.path.join(out, "dataset.npz")

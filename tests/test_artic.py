@@ -607,3 +607,41 @@ def test_openai_chat_request_shaping_with_stub_transport():
         arr = np.asarray(decoded)
         assert arr.shape[:2] == (8, 8)
         assert arr[0, 0, 0] == 255 and arr[1, 1, 0] == 0
+
+
+@pytest.mark.skipif(not os.path.isdir(_OPENBOX),
+                    reason="reference openbox_output not mounted")
+def test_openbox_masknet_end_to_end_hinge():
+    """VERDICT r2 #7 gate: the golden hinge must be recovered END TO
+    END from the learned mask path (full Segmenter run on the raw
+    combined mesh: geometric view choice -> point-prompted masknet
+    candidates -> marker/edge-quality pick -> two-mask visibility split
+    -> HingeDetector), not just from pre-segmented parts.
+
+    Bars per the verdict: axis |cos| > 0.995 vs the reference's
+    committed metadata, confidence within 0.05 of golden."""
+    from robosimgs_tpu.utils.meshio import concatenate, load_mesh
+
+    red = load_mesh(os.path.join(_OPENBOX, "segmentation", "part_RED.glb"))
+    green = load_mesh(os.path.join(_OPENBOX, "segmentation",
+                                   "part_GREEN.glb"))
+    mesh = concatenate([red, green])
+    pts = json.load(open(os.path.join(_OPENBOX, "segmentation",
+                                      "selected_points.json")))
+    golden = json.loads(open(os.path.join(_OPENBOX, "urdf",
+                                          "metadata.json")).read())
+
+    seg = Segmenter(mesh, resolution=800, mask_dilate_px=10)
+    res = seg.run(points=[pts["points"][0]["position"],
+                          pts["points"][1]["position"]],
+                  part_names=["lid", "box body"])
+    # the learned path recovers a sane split (reference lid has 8393 of
+    # the 25000 faces; measured 9453 = the junction band's worth over)
+    n_red = res.parts["RED"].faces.shape[0]
+    assert 0.7 * red.faces.shape[0] < n_red < 1.3 * red.faces.shape[0], n_red
+
+    hinge = HingeDetector(res.parts["RED"], res.parts["GREEN"]).detect()
+    cos = abs(float(np.dot(hinge.axis, np.asarray(golden["hinge"]["axis"]))))
+    assert cos > 0.995, (cos, hinge.axis)
+    assert abs(hinge.confidence
+               - golden["hinge"]["axis_confidence"]) < 0.05, hinge.confidence
