@@ -102,15 +102,17 @@ def main():
         body.sample_surface(n_init * 5 // 6, seed=0),
         lid.sample_surface(n_init // 6, seed=1)])
     iters = int(os.environ.get("OPENBOX_ITERS", 3000))
-    init = Gaussians.from_points(pts.astype(np.float32), sh_degree=2,
-                                 capacity=capacity)
+    init = Gaussians.from_points(
+        pts.astype(np.float32),
+        sh_degree=int(os.environ.get("OPENBOX_SH", 2)), capacity=capacity)
 
     from robosimgs_tpu.train.densify import DensifyConfig
     from robosimgs_tpu.train.optim import OptimConfig
 
     cfg = TrainConfig(
         iterations=iters,
-        render=RenderConfig(tile_capacity=1024),
+        render=RenderConfig(tile_capacity=int(
+            os.environ.get("OPENBOX_TILE_CAP", 1024))),
         impl="auto",
         background=(1.0, 1.0, 1.0),
         scene_extent=extent,
