@@ -64,7 +64,13 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    cfg = RenderConfig(tile_capacity=1024, max_tiles_per_gaussian=16)
+    # default = the BENCH config (M=10 survivor compaction over a
+    # 12-tile bbox, K=512) so the table decomposes the number the
+    # driver actually records; RSGS_PROF_M/_K/_BBOX override
+    cfg = RenderConfig(
+        tile_capacity=int(os.environ.get("RSGS_PROF_K", 512)),
+        max_tiles_per_gaussian=int(os.environ.get("RSGS_PROF_M", 10)),
+        bbox_tiles_per_gaussian=int(os.environ.get("RSGS_PROF_BBOX", 12)))
     M, K = cfg.max_tiles_per_gaussian, cfg.tile_capacity
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, res, res)
     g = Gaussians.random(jax.random.PRNGKey(0), n, sh_degree=3, extent=1.5)
