@@ -40,7 +40,8 @@ def main():
     iters = int(os.environ.get("AB_ITERS", 1200))
     _pet()
     _, frames = synthetic_mesh_scene(seed=4, n_cameras=24,
-                                     width=res, height=res)
+                                     width=res, height=res,
+                                     with_depth=True)
     train_frames, eval_frames = train_eval_split(frames, 8)
     _pet()
 
@@ -61,6 +62,13 @@ def main():
             base, render=dataclasses.replace(base_render, antialiased=True)),
         "scale_reg": dataclasses.replace(base, scale_reg_lambda=0.02,
                                          scale_reg_max_ratio=8.0),
+        # the r2 quality features at scale (VERDICT r2 #1 asks for the
+        # A/B "re-run at that scale" for bilagrid/depth/normal too)
+        "bilagrid": dataclasses.replace(base, bilateral_grid=True),
+        "depth": dataclasses.replace(base, depth_lambda=0.1),
+        "normal_reg": dataclasses.replace(
+            base, normal_lambda=0.02,
+            render=dataclasses.replace(base_render, render_normals=True)),
     }
 
     rng = np.random.default_rng(0)
@@ -69,7 +77,9 @@ def main():
         _pet()
         pts = rng.uniform(-1.2, 1.2, (4000, 3)).astype(np.float32) \
             * np.array([1, 1, 0.5], np.float32)
-        init = Gaussians.from_points(pts, sh_degree=2, capacity=60_000)
+        att = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
+        init = Gaussians.from_points(pts, sh_degree=2,
+                                     capacity=60_000 + att)
         trainer = Trainer(cfg, init, train_frames, eval_frames=eval_frames)
         t0 = time.time()
         trainer.run(progress=False)

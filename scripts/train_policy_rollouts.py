@@ -79,7 +79,11 @@ def main():
     q_open = 1.57
 
     # background scene: structured gaussian clutter around the object
-    cfg = RenderConfig(tile_capacity=256, max_tiles_per_gaussian=8)
+    # fold the retry attempt into a static shape: wedges are
+    # program-keyed (CLAUDE.md) and a retry must not resubmit the
+    # poisoned program
+    _att = int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
+    cfg = RenderConfig(tile_capacity=256, max_tiles_per_gaussian=8 + _att)
 
     # frame the camera from the posed object's bounds (parts are
     # hinge-recentered by the pipeline; scan scale is arbitrary)
