@@ -83,8 +83,16 @@ def main():
     # RSGS_BENCH_ALPHA_MXU=1 measures the MXU alpha-eval variant
     # (render/pallas_kernels._alpha_block_mxu; parity-gated in tests)
     a_mxu = bool(int(os.environ.get("RSGS_BENCH_ALPHA_MXU", "0")))
+    # two-tier sort slots (RSGS_BENCH_TT_SPLIT=0 disables): on this
+    # scene 88.5% of gaussians cover <= 4 tiles post-cull, so tier 1 =
+    # everyone's first 4 slots + tier 2 = the widest 15% spill shrinks
+    # the key sort 1.0M -> ~0.5M slots (exactness parity-tested; any
+    # spill drop would trip the trunc==0 assert below)
+    tt_split = int(os.environ.get("RSGS_BENCH_TT_SPLIT", "0"))
+    tt_frac = float(os.environ.get("RSGS_BENCH_TT_FRAC", "0.15"))
     cfg = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=m_kept,
-                       bbox_tiles_per_gaussian=m_bbox, alpha_mxu=a_mxu)
+                       bbox_tiles_per_gaussian=m_bbox, alpha_mxu=a_mxu,
+                       two_tier_split=tt_split, two_tier_spill_frac=tt_frac)
     cfg_lossless = RenderConfig(tile_capacity=5120, tile_chunk=512,
                                 max_tiles_per_gaussian=12)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, RES, RES)

@@ -46,6 +46,7 @@ def recommend_capacities(
     max_cover = 0      # surviving tiles (post-cull) — sizes the M sort
     max_bbox = 0       # bbox tiles — sizes the enumeration cap
     max_count = 0
+    covers = []        # per-camera survivor-cover arrays (two-tier pick)
     for cam in cameras:
         proj = project(gaussians, cam, base)
         tiles_x, tiles_y = num_tiles(cam.width, cam.height, base.tile_size)
@@ -59,6 +60,7 @@ def recommend_capacities(
         # corner tiles), enumerated over the full bbox
         cover = per_gaussian_cover(proj, cam.width, cam.height, base,
                                    max_tiles=max(max_bbox, 1))
+        covers.append(cover)
         max_cover = max(max_cover, int(jnp.max(cover)))
         # probe with generous caps to read true per-tile demand
         probe = dataclasses.replace(
@@ -73,10 +75,33 @@ def recommend_capacities(
 
     kept = _round_up(int(math.ceil(max_cover * headroom)), 4)
     bbox = _round_up(int(math.ceil(max_bbox * headroom)), 4)
+
+    # two-tier sort pick: choose the split s minimizing total key-sort
+    # slots s*N + spill_rows(s)*(kept-s), where spill_rows is the worst
+    # camera's count of gaussians covering > s tiles (x headroom,
+    # rounded to the 128-row spill granularity). Enabled only when it
+    # removes >=25% of slots — the split costs a top_k + a spill-row
+    # gather, which a marginal slot saving doesn't repay.
+    n = int(gaussians.means.shape[0])
+    split, frac = 0, 0.0
+    if kept > 2 and n > 0:
+        base_slots = kept * n
+        best = base_slots
+        for s in range(2, kept - 1, 2):
+            over = max(int(jnp.sum(c > s)) for c in covers)
+            rows = min(n, _round_up(int(math.ceil(over * headroom)), 128))
+            slots = s * n + rows * (kept - s)
+            if slots < best:
+                best, split, frac = slots, s, rows / n
+        if best > 0.75 * base_slots:
+            split, frac = 0, 0.0
+
     return dataclasses.replace(
         base,
         max_tiles_per_gaussian=kept,
         # enumerate the full bbox only when the cull buys slot reduction
         bbox_tiles_per_gaussian=bbox if bbox > kept else 0,
         tile_capacity=_round_up(int(math.ceil(max_count * headroom)), 128),
+        two_tier_split=split,
+        two_tier_spill_frac=frac,
     )

@@ -355,8 +355,14 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
 
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)   # sentinel sorts last
     surv = jnp.sum(valid_e, axis=1).astype(jnp.int32)    # per-gaussian cover
+    Ms = cfg.two_tier_split
+    two_tier = 0 < Ms < M
     if Mb > M:
         tid = jnp.sort(tid, axis=1)[:, :M]
+    elif two_tier:
+        # two-tier needs sentinels at the row tail even when the bbox
+        # enumeration wasn't widened (the exact cull leaves holes)
+        tid = jnp.sort(tid, axis=1)
 
     # entries are already depth-ordered (rows ascend in rank), so a
     # stable sort by tile id alone preserves front-to-back order per
@@ -364,10 +370,40 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     # key — sorting by (tid << bits | gid) equals the stable sort (gid
     # ascends with rank) and halves sort bandwidth (no payload array).
     gid_bits = max(1, (n - 1).bit_length())
+    spill_dropped_rows = jnp.int32(0)
+    spill_dropped_pairs = jnp.int32(0)
     if (T + 1) << gid_bits <= 2**31:
-        gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                               (n, M))
-        packed_key = (tid.reshape(-1) << gid_bits) | gid.reshape(-1)
+        if two_tier:
+            # tier 1: everyone's first Ms (row-sorted) slots. tier 2:
+            # the S widest gaussians contribute slots Ms..M. Rows are
+            # tid-sorted, so a gaussian with cover <= Ms has only
+            # sentinels past column Ms — top_k rows that don't actually
+            # spill contribute inert sentinel keys, no masking needed.
+            S = min(n, max(128, -(-int(cfg.two_tier_spill_frac * n) // 128)
+                           * 128))
+            gid1 = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None], (n, Ms))
+            key1 = (tid[:, :Ms] << gid_bits) | gid1
+            spill_cover, spill_idx = jax.lax.top_k(surv, S)
+            # pre-sliced spill source + barrier: a column slice fused
+            # INTO a row gather de-vectorizes XLA's lowering (measured
+            # ~160x, see docs/ROOFLINE.md); slicing first keeps the
+            # gather whole-row
+            spill_src = jax.lax.optimization_barrier(tid[:, Ms:])
+            key2 = (spill_src[spill_idx] << gid_bits) | spill_idx[:, None]
+            packed_key = jnp.concatenate(
+                [key1.reshape(-1), key2.reshape(-1)])
+            survM = jnp.minimum(surv, M)
+            need = jnp.sum(jnp.maximum(survM - Ms, 0))
+            got = jnp.sum(jnp.maximum(jnp.minimum(spill_cover, M) - Ms, 0))
+            spill_dropped_pairs = (need - got).astype(jnp.int32)
+            spill_dropped_rows = jnp.maximum(
+                jnp.sum(surv > Ms) - S, 0).astype(jnp.int32)
+        else:
+            gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                                   (n, M))
+            packed_key = (tid.reshape(-1) << gid_bits) | gid.reshape(-1)
+        L = packed_key.shape[0]
         s_key = jax.lax.sort(packed_key)
         # Per-tile bounds from searchsorted on shifted tile-id queries
         # (key low bits are gid >= 0, so bisect_left at gid=0 lands on
@@ -382,7 +418,7 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
             [s_key, jnp.full((K,), jnp.int32(2**31 - 1))])
         win = jax.vmap(
             lambda s: jax.lax.dynamic_slice(s_key_pad, (s,), (K,))
-        )(jnp.minimum(bounds[:-1], n * M))               # (T, K)
+        )(jnp.minimum(bounds[:-1], L))                   # (T, K)
         sel_rank = win & ((1 << gid_bits) - 1)
     else:
         gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
@@ -413,10 +449,12 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
 
     stats = BinStats(
         truncated_gaussians=jnp.sum(
-            valid_s & ((cover > Mb) | (surv > M))).astype(jnp.int32),
+            valid_s & ((cover > Mb) | (surv > M))).astype(jnp.int32)
+        + spill_dropped_rows,
         overflowed_tiles=jnp.sum(full_counts > K).astype(jnp.int32),
         max_tile_count=jnp.max(full_counts).astype(jnp.int32),
-        total_pairs=jnp.sum(jnp.minimum(surv, M)).astype(jnp.int32),
+        total_pairs=jnp.sum(jnp.minimum(surv, M)).astype(jnp.int32)
+        - spill_dropped_pairs,
     )
     if return_sel:
         return geom, feat, counts, stats, sel

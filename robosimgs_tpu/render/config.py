@@ -79,6 +79,17 @@ class RenderConfig:
     # runs over SURVIVOR capacity while the bbox can be bigger — set
     # via autotune (bbox max) to shrink sort work on wide-splat scenes.
     bbox_tiles_per_gaussian: int = 0
+    # two-tier sort slots: most gaussians cover few tiles, so the
+    # N*max_tiles key sort is mostly sentinel padding. With split s > 0,
+    # every gaussian contributes its first s (row-sorted) tile slots and
+    # only the top spill_frac*N widest gaussians (by survivor cover,
+    # lax.top_k) contribute the remaining max_tiles - s slots — one
+    # combined key sort over ~ (s + spill_frac*(max_tiles-s))*N slots
+    # instead of max_tiles*N. Exact whenever the spill tier holds every
+    # gaussian with cover > s (dropped spill is counted in BinStats,
+    # never silent). 0 = off.
+    two_tier_split: int = 0
+    two_tier_spill_frac: float = 0.25
     tile_capacity: int = 1024
     # VMEM-resident entries per compositing pass; the Pallas kernels
     # stream ceil(tile_capacity / tile_chunk) chunks per tile with

@@ -24,10 +24,12 @@ from wedgeguard import start_wedge_guard  # noqa: E402
 _pet = start_wedge_guard()
 
 
-def build_scene(seed: int, n_cameras: int, res: int):
+def build_scene(seed: int, n_cameras: int, res: int,
+                with_depth: bool = False):
     """Floor + ~40 bodies with per-face color noise, cameras on two
     rings (the texture detail drives densification; vertex-gradient
-    boxes are too smooth to need >10k gaussians)."""
+    boxes are too smooth to need >10k gaussians). with_depth attaches
+    the mesh z-buffer (0 on background) for depth-supervision arms."""
     import numpy as np
 
     from robosimgs_tpu.core.camera import Camera
@@ -103,7 +105,11 @@ def build_scene(seed: int, n_cameras: int, res: int):
             "MeshRasterConfig capacities")
         img = np.where(np.asarray(out["mask"])[..., None],
                        np.asarray(out["rgb"]), 1.0).astype(np.float32)
-        frames.append(Frame(camera=cam, image=img))
+        dep = None
+        if with_depth:
+            dep = np.where(np.asarray(out["mask"]),
+                           np.asarray(out["depth"]), 0.0).astype(np.float32)
+        frames.append(Frame(camera=cam, image=img, depth=dep))
         _pet()     # the first mesh-raster compile through the tunnel is
         #            slow; don't let the wedge watchdog shoot a healthy run
     return scene, frames

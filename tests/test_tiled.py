@@ -505,3 +505,48 @@ def test_alpha_mxu_parity_values_and_grads():
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_r),
                                atol=1e-4, rtol=2e-4)
+
+def test_two_tier_binning_exact_and_counted():
+    """two_tier_split: the split-tier key sort (tier 1 = everyone's
+    first Ms row-sorted slots, tier 2 = top-k widest gaussians' spill
+    slots) reproduces the single-sort binning EXACTLY when the spill
+    tier holds every gaussian wider than the split; an under-provisioned
+    spill tier is counted in BinStats, never silent."""
+    import dataclasses
+
+    from robosimgs_tpu.render.binning import bin_and_gather_packed
+    from robosimgs_tpu.render.reference import composite_reference
+
+    cam = Camera.look_at([3.5, 0.5, 1.0], [0, 0, 0], [0, 0, 1], 55.0,
+                         128, 96)
+    g = Gaussians.random(jax.random.PRNGKey(11), 1500, sh_degree=1)
+    base = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=24)
+    proj = project(g, cam, base)
+    geom0, feat0, counts0, st0, sel0 = bin_and_gather_packed(
+        proj, 128, 96, base, return_sel=True)
+
+    cfg = dataclasses.replace(base, two_tier_split=4,
+                              two_tier_spill_frac=1.0)
+    geom1, feat1, counts1, st1, sel1 = bin_and_gather_packed(
+        proj, 128, 96, cfg, return_sel=True)
+    assert int(st1.truncated_gaussians) == int(st0.truncated_gaussians)
+    assert int(st1.total_pairs) == int(st0.total_pairs)
+    np.testing.assert_array_equal(np.asarray(counts1), np.asarray(counts0))
+    np.testing.assert_array_equal(np.asarray(sel1), np.asarray(sel0))
+    np.testing.assert_array_equal(np.asarray(geom1), np.asarray(geom0))
+    np.testing.assert_array_equal(np.asarray(feat1), np.asarray(feat0))
+
+    # end-to-end through the pallas compositor vs the jnp reference
+    out = composite_tiled(proj, 128, 96, cfg, compositor="pallas")
+    ref = composite_reference(proj, 128, 96, cfg)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=1e-6)
+
+    # under-provisioned spill tier (split=1, minimum 128 spill rows for
+    # 1500 gaussians): dropped spill pairs must be COUNTED
+    cfg_small = dataclasses.replace(base, two_tier_split=1,
+                                    two_tier_spill_frac=0.0)
+    *_, st2 = bin_and_gather_packed(proj, 128, 96, cfg_small)
+    dropped_rows = int(st2.truncated_gaussians) - int(st0.truncated_gaussians)
+    dropped_pairs = int(st0.total_pairs) - int(st2.total_pairs)
+    assert dropped_rows > 0 and dropped_pairs >= dropped_rows
