@@ -127,6 +127,17 @@ class TrainConfig:
     # / part splitting). Tiled/Pallas impl only.
     normal_lambda: float = 0.0
     normal_alpha_gate: float = 0.5
+    # multi-step fused dispatch: run this many train steps per device
+    # call via lax.scan (0/1 = one step per call). Through a remote or
+    # tunneled runtime the per-call dispatch latency dominates real
+    # training (measured ~170 ms/iter overhead at 512^2 on the axon
+    # tunnel vs ~tens of ms of compute); fusing F steps amortizes it F
+    # times. Chunks never cross host-event boundaries (densify, pool
+    # resize, opacity reset, checkpoint), so results are step-for-step
+    # identical to the unfused loop; per-step metrics come back stacked.
+    # Requires uniform frame resolution and device-resident targets
+    # (ignored in host-streaming mode).
+    fused_steps: int = 0
     # target residency: None = auto (host-resident when the target set
     # exceeds host_data_threshold bytes, else all uploaded once).
     # Host-resident mode streams each step's target with an async
@@ -185,7 +196,9 @@ def _render_for_training(g: Gaussians, camera: Camera, cfg: TrainConfig,
     return out, proj
 
 
-def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
+def _make_step_body(cfg: TrainConfig, impl: str) -> Callable:
+    """The un-jitted single-step body shared by make_train_step (one
+    step per device call) and make_fused_train_steps (lax.scan)."""
     if cfg.render.absgrad and impl == "reference":
         raise ValueError("absgrad needs the tiled/Pallas impl (the "
                          "reference compositor's autodiff cannot observe "
@@ -204,7 +217,6 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
                                bilagrid_lr=cfg.bilagrid_lr
                                if cfg.bilateral_grid else None)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, camera: Camera, target: jax.Array,
                    frame_idx: jax.Array = jnp.int32(0),
                    target_depth: Optional[jax.Array] = None):
@@ -302,6 +314,39 @@ def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
     return train_step
 
 
+def make_train_step(cfg: TrainConfig, impl: str) -> Callable:
+    return functools.partial(jax.jit, donate_argnums=(0,))(
+        _make_step_body(cfg, impl))
+
+
+def make_fused_train_steps(cfg: TrainConfig, impl: str) -> Callable:
+    """F train steps per device call: lax.scan of the single-step body
+    over per-step (camera, target, frame_idx[, depth]) stacks. Exactly
+    the unfused loop's math — the scan carries TrainState through and
+    returns the per-step metrics stacked (F,)."""
+    body = _make_step_body(cfg, impl)
+    with_depth = cfg.depth_lambda > 0.0
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_steps(state: TrainState, cameras: Camera, targets: jax.Array,
+                    frame_idxs: jax.Array,
+                    target_depths: Optional[jax.Array] = None):
+        def scan_body(st, xs):
+            if with_depth:
+                cam, tgt, fi, td = xs
+            else:
+                cam, tgt, fi = xs
+                td = None
+            return body(st, cam, tgt, fi, td)
+
+        xs = (cameras, targets, frame_idxs)
+        if with_depth:
+            xs = xs + (target_depths,)
+        return jax.lax.scan(scan_body, state, xs)
+
+    return train_steps
+
+
 def make_densify_step(cfg: TrainConfig) -> Callable:
     optimizer = make_optimizer(cfg.optim, cfg.scene_extent)  # noqa: F841 (state shape)
 
@@ -358,6 +403,10 @@ class Trainer:
             bilagrid=bilagrid0,
         )
         self._train_step = make_train_step(cfg, impl)
+        self._fused_steps_fn = None
+        if cfg.fused_steps > 1 and len(
+                {(f.camera.width, f.camera.height) for f in frames}) == 1:
+            self._fused_steps_fn = make_fused_train_steps(cfg, impl)
         self._densify_step = make_densify_step(cfg)
         self._compact = jax.jit(compact_and_resize, static_argnums=(3,))
         self._pool_max = gaussians.capacity
@@ -411,28 +460,97 @@ class Trainer:
             return (targets_np[i], None if depths_np is None
                     else depths_np[i])
 
+        n = len(self.frames)
+        # fused multi-step chunks need device-resident per-frame stacks
+        fused = int(cfg.fused_steps or 0)
+        if host or self._fused_steps_fn is None:
+            fused = 0
+        cam_all = targets_all = depths_all = None
+        if fused > 1:
+            cams = [f.camera for f in self.frames]
+            cam_all = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *cams)
+            targets_all = jax.device_put(np.stack(targets_np))
+            if depths_np is not None:
+                depths_all = jax.device_put(np.stack(depths_np))
+
         if host:
             targets = None
             # one-step-ahead async upload pipeline
             step0 = int(self.state.step)
-            pending = jax.device_put(frame_data(step0 % len(self.frames)))
-        else:
-            targets = [jax.device_put(frame_data(i))
-                       for i in range(len(self.frames))]
+            pending = jax.device_put(frame_data(step0 % n))
+        elif fused <= 1:
+            targets = [jax.device_put(frame_data(i)) for i in range(n)]
+
+        def host_event(s: int) -> bool:
+            """Anything the python loop does BETWEEN step s and s+1
+            (pool resize / densify / opacity reset / checkpoint) —
+            fused chunks must not run past one."""
+            if s <= 0:
+                return False
+            if (s % cfg.densify_interval == 0
+                    and ((cfg.dynamic_pool and s >= cfg.densify_from)
+                         or cfg.densify_from <= s < cfg.densify_until)):
+                return True
+            if s % cfg.opacity_reset_interval == 0:
+                return True
+            return bool(cfg.checkpoint_dir) and s % cfg.checkpoint_every == 0
+
+        def log(m, step):
+            m["step"] = step
+            m["elapsed"] = time.time() - t0
+            self.history.append(m)
+            if on_log is not None:
+                on_log(m)
+            if progress:
+                extra = (f" OVERFLOW={int(m['overflow'])}"
+                         if m.get("overflow") else "")
+                print(f"[{step:6d}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} "
+                      f"alive={int(m['n_alive'])}{extra} ({m['elapsed']:.1f}s)")
+
         step0 = int(self.state.step)
         t0 = time.time()
-        for i in range(iters):
+        i = 0
+        while i < iters:
             step = step0 + i
-            idx = step % len(self.frames)
-            cam = self.frames[idx].camera
-            if host:
-                target, tdepth = pending
-                pending = jax.device_put(
-                    frame_data((step + 1) % len(self.frames)))
+            if (fused > 1 and i + fused <= iters
+                    and not any(host_event(step + j)
+                                for j in range(fused - 1))):
+                # a host event may land on the chunk's LAST step only
+                # (it runs after the chunk — same position as unfused)
+                idxs = jnp.asarray([(step + j) % n for j in range(fused)],
+                                   jnp.int32)
+                cam_f = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, idxs, axis=0), cam_all)
+                args = [self.state, cam_f, jnp.take(targets_all, idxs, 0),
+                        idxs]
+                if depths_all is not None:
+                    args.append(jnp.take(depths_all, idxs, 0))
+                self.state, mstack = self._fused_steps_fn(*args)
+                log_js = [j for j in range(fused)
+                          if (step + j) % cfg.log_every == 0]
+                if log_js:
+                    mhost = {k: np.asarray(v) for k, v in mstack.items()}
+                    for j in log_js:
+                        log({k: float(v[j]) for k, v in mhost.items()},
+                            step + j)
+                i += fused
+                step = step0 + i - 1      # last executed step, for events
             else:
-                target, tdepth = targets[idx]
-            self.state, metrics = self._train_step(self.state, cam, target,
-                                                   jnp.int32(idx), tdepth)
+                idx = step % n
+                cam = self.frames[idx].camera
+                if host:
+                    target, tdepth = pending
+                    pending = jax.device_put(frame_data((step + 1) % n))
+                elif fused > 1:
+                    target = targets_all[idx]
+                    tdepth = None if depths_all is None else depths_all[idx]
+                else:
+                    target, tdepth = targets[idx]
+                self.state, metrics = self._train_step(
+                    self.state, cam, target, jnp.int32(idx), tdepth)
+                if step % cfg.log_every == 0:
+                    log({k: float(v) for k, v in metrics.items()}, step)
+                i += 1
 
             if (cfg.dynamic_pool and step > 0
                     and step % cfg.densify_interval == 0
@@ -448,18 +566,6 @@ class Trainer:
                     gaussians=reset_opacities(self.state.gaussians,
                                               cfg.densify.reset_opacity_value),
                     opt_state=_zero_opacity_moments(self.state.opt_state))
-            if step % cfg.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                m["step"] = step
-                m["elapsed"] = time.time() - t0
-                self.history.append(m)
-                if on_log is not None:
-                    on_log(m)
-                if progress:
-                    extra = (f" OVERFLOW={int(m['overflow'])}"
-                             if m.get("overflow") else "")
-                    print(f"[{step:6d}] loss={m['loss']:.4f} psnr={m['psnr']:.2f} "
-                          f"alive={int(m['n_alive'])}{extra} ({m['elapsed']:.1f}s)")
             if cfg.checkpoint_dir and step > 0 and step % cfg.checkpoint_every == 0:
                 self.save_checkpoint()
         return self.state

@@ -637,3 +637,51 @@ def test_normal_regularizer_reaches_high_alignment_on_flat_scene():
     trainer = Trainer(cfg, jax.tree_util.tree_map(jnp.copy, init), frames)
     trainer.run(progress=False)
     assert alignment(trainer.state.gaussians) > 0.70
+
+
+def test_fused_steps_match_unfused_loop():
+    """fused_steps (lax.scan multi-step dispatch) is step-for-step the
+    unfused loop: same final gaussians, same logged metrics, chunks
+    breaking correctly around densify boundaries; depth supervision
+    rides the scan xs."""
+    gt, frames = synthetic_scene(seed=3, n_gaussians=40, n_cameras=5,
+                                 width=48, height=48, sh_degree=1)
+    rcfg = RenderConfig(tile_capacity=128, max_tiles_per_gaussian=16)
+    for f in frames:
+        out = rasterize(gt, f.camera, rcfg, impl="reference")
+        f.image = np.asarray(out["rgb"])
+        a = np.asarray(out["alpha"])
+        f.depth = np.where(a > 0.3,
+                           np.asarray(out["depth"]) / np.maximum(a, 1e-6),
+                           0.0).astype(np.float32)
+
+    rng = np.random.default_rng(1)
+    pts = (np.asarray(gt.means)
+           + rng.normal(scale=0.05, size=(40, 3)).astype(np.float32))
+    base = TrainConfig(
+        iterations=25, render=rcfg, impl="tiled", log_every=5,
+        densify_from=10, densify_until=20, densify_interval=10,
+        opacity_reset_interval=10_000, dynamic_pool=False,
+        depth_lambda=0.05, scene_extent=1.0,
+    )
+
+    def train(cfg):
+        init = Gaussians.from_points(pts, sh_degree=1, capacity=64)
+        tr = Trainer(cfg, init, frames)
+        tr.run(progress=False)
+        return tr
+
+    tr0 = train(base)
+    tr1 = train(dataclasses.replace(base, fused_steps=5))
+    assert tr1._fused_steps_fn is not None
+    for m0, m1 in zip(tr0.history, tr1.history):
+        assert m0["step"] == m1["step"]
+        np.testing.assert_allclose(m1["loss"], m0["loss"],
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tr1.state.gaussians.means),
+                               np.asarray(tr0.state.gaussians.means),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tr1.state.gaussians.logit_opacities),
+        np.asarray(tr0.state.gaussians.logit_opacities),
+        rtol=1e-5, atol=1e-5)
