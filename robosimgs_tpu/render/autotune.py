@@ -85,10 +85,19 @@ def recommend_capacities(
     n = int(gaussians.means.shape[0])
     split, frac = 0, 0.0
     if kept > 2 and n > 0:
+        # one histogram per camera gives count(cover > s) for ALL s in a
+        # single device transfer (the per-(s, camera) jnp.sum version
+        # was O(kept x cameras) round trips through the tunneled runtime)
+        import numpy as np
+        over_all = np.zeros(kept + 1, dtype=np.int64)
+        for c in covers:
+            hist = np.asarray(jnp.bincount(
+                jnp.clip(c, 0, kept).astype(jnp.int32), length=kept + 1))
+            over_all = np.maximum(over_all, n - np.cumsum(hist))
         base_slots = kept * n
         best = base_slots
         for s in range(2, kept - 1, 2):
-            over = max(int(jnp.sum(c > s)) for c in covers)
+            over = int(over_all[s])
             rows = min(n, _round_up(int(math.ceil(over * headroom)), 128))
             slots = s * n + rows * (kept - s)
             if slots < best:

@@ -355,8 +355,20 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
 
     tid = jnp.where(valid_e, tid, T).astype(jnp.int32)   # sentinel sorts last
     surv = jnp.sum(valid_e, axis=1).astype(jnp.int32)    # per-gaussian cover
+    # the packed single-int32-key sort (and the two-tier split that
+    # rides on it) applies only when (tid, gid) fits in 31 bits; decide
+    # up front so the two-tier row-local sort below isn't wasted work
+    # when the fallback two-array sort will run anyway
+    gid_bits = max(1, (n - 1).bit_length())
+    packed_fits = (T + 1) << gid_bits <= 2**31
     Ms = cfg.two_tier_split
-    two_tier = 0 < Ms < M
+    two_tier = (0 < Ms < M) and packed_fits
+    if (0 < Ms < M) and not packed_fits:
+        import warnings
+        warnings.warn(
+            f"two_tier_split={Ms} ignored: packed key needs "
+            f"{(T + 1).bit_length() + gid_bits} bits (> 31) at T={T}, "
+            f"n={n}; falling back to the two-array sort")
     if Mb > M:
         tid = jnp.sort(tid, axis=1)[:, :M]
     elif two_tier:
@@ -369,10 +381,9 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
     # tile. When (tid, gid) fits in 31 bits, pack both into ONE int32
     # key — sorting by (tid << bits | gid) equals the stable sort (gid
     # ascends with rank) and halves sort bandwidth (no payload array).
-    gid_bits = max(1, (n - 1).bit_length())
-    spill_dropped_rows = jnp.int32(0)
+    spill_missed = jnp.zeros((n,), bool)  # rows needing spill that lost
     spill_dropped_pairs = jnp.int32(0)
-    if (T + 1) << gid_bits <= 2**31:
+    if packed_fits:
         if two_tier:
             # tier 1: everyone's first Ms (row-sorted) slots. tier 2:
             # the S widest gaussians contribute slots Ms..M. Rows are
@@ -397,8 +408,11 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
             need = jnp.sum(jnp.maximum(survM - Ms, 0))
             got = jnp.sum(jnp.maximum(jnp.minimum(spill_cover, M) - Ms, 0))
             spill_dropped_pairs = (need - got).astype(jnp.int32)
-            spill_dropped_rows = jnp.maximum(
-                jnp.sum(surv > Ms) - S, 0).astype(jnp.int32)
+            # exact per-row membership (not a count difference): a row
+            # that both exceeds M and misses the spill must be counted
+            # once, not twice, in truncated_gaussians
+            spill_missed = (surv > Ms) & ~jnp.zeros(
+                (n,), bool).at[spill_idx].set(True)
         else:
             gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
                                    (n, M))
@@ -449,8 +463,8 @@ def bin_and_gather_packed(proj: Projected, width: int, height: int,
 
     stats = BinStats(
         truncated_gaussians=jnp.sum(
-            valid_s & ((cover > Mb) | (surv > M))).astype(jnp.int32)
-        + spill_dropped_rows,
+            valid_s & ((cover > Mb) | (surv > M) | spill_missed)
+        ).astype(jnp.int32),
         overflowed_tiles=jnp.sum(full_counts > K).astype(jnp.int32),
         max_tile_count=jnp.max(full_counts).astype(jnp.int32),
         total_pairs=jnp.sum(jnp.minimum(surv, M)).astype(jnp.int32)

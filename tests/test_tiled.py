@@ -550,3 +550,36 @@ def test_two_tier_binning_exact_and_counted():
     dropped_rows = int(st2.truncated_gaussians) - int(st0.truncated_gaussians)
     dropped_pairs = int(st0.total_pairs) - int(st2.total_pairs)
     assert dropped_rows > 0 and dropped_pairs >= dropped_rows
+
+
+def test_two_tier_truncated_rows_not_double_counted():
+    """A gaussian that BOTH exceeds M survivors and misses the spill
+    tier counts ONCE in truncated_gaussians (advisor r3 finding: the
+    count-difference formula inflated past n when every wide row was
+    also spill-dropped)."""
+    import dataclasses
+
+    from robosimgs_tpu.render.binning import (bin_and_gather_packed,
+                                              per_gaussian_cover)
+
+    # 200 fat gaussians, every one covering > M tiles: with
+    # spill_frac=0 the spill tier holds only 128 rows, so 72 rows are
+    # BOTH (surv > M) and spill-dropped
+    cam = Camera.look_at([2.0, 0.1, 0.4], [0, 0, 0], [0, 0, 1], 55.0,
+                         128, 96)
+    g = Gaussians.random(jax.random.PRNGKey(3), 200, sh_degree=0)
+    g = g.replace(log_scales=jnp.full_like(g.log_scales, jnp.log(0.25)))
+    cfg = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=6,
+                       bbox_tiles_per_gaussian=48, two_tier_split=2,
+                       two_tier_spill_frac=0.0)
+    proj = project(g, cam, cfg)
+    surv = np.asarray(per_gaussian_cover(proj, 128, 96, cfg, max_tiles=48))
+    valid = np.asarray(proj.valid)
+    n_over = int(((surv > 6) & valid).sum())
+    assert n_over > 128  # the construction actually over-subscribes
+    # all 128 spill seats go to (surv > 6) rows, so every valid row with
+    # surv > split(=2) is truncated exactly once
+    expected = int(((surv > 2) & valid).sum())
+    *_, st = bin_and_gather_packed(proj, 128, 96, cfg)
+    assert int(st.truncated_gaussians) == expected
+    assert int(st.truncated_gaussians) <= 200
