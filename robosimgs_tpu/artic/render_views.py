@@ -57,13 +57,16 @@ def view_camera(mesh: Mesh, direction: np.ndarray, resolution: int = 800,
 
 def shade(mesh: Mesh, camera: Camera) -> np.ndarray:
     """Per-face headlight Lambertian colors (albedo from vertex colors
-    or light gray)."""
+    or light gray; for UV-textured meshes this is the shading TERM only
+    — the rasterizer multiplies the texture in per pixel)."""
     normals = mesh.face_normals()
     eye = np.asarray(camera.origin)
     to_cam = eye[None, :] - mesh.face_centroids()
     to_cam /= np.clip(np.linalg.norm(to_cam, axis=1, keepdims=True), 1e-9, None)
     lam = np.abs((normals * to_cam).sum(1))
-    if mesh.vertex_colors is not None:
+    if mesh.uv is not None and mesh.texture is not None:
+        albedo = np.ones((mesh.faces.shape[0], 3), np.float32)
+    elif mesh.vertex_colors is not None:
         albedo = mesh.vertex_colors[mesh.faces].mean(1)
     else:
         albedo = np.full((mesh.faces.shape[0], 3), 0.75, np.float32)
@@ -79,9 +82,13 @@ def render_view(mesh: Mesh, camera: Camera,
     the z-buffer the Segmenter's geometric view scoring samples for
     seed-point visibility."""
     face_colors = shade(mesh, camera)
+    tex_kw = {}
+    if mesh.uv is not None and mesh.texture is not None:
+        tex_kw = dict(vertex_uvs=jnp.asarray(mesh.uv),
+                      texture=jnp.asarray(mesh.texture))
     out = rasterize_mesh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
                          camera, face_colors=jnp.asarray(face_colors),
-                         cfg=mesh_cfg)
+                         cfg=mesh_cfg, **tex_kw)
     rgb = np.asarray(out["rgb"])
     mask = np.asarray(out["mask"])
     img = np.where(mask[..., None], rgb, background).astype(np.float32)

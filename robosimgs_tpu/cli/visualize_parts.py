@@ -65,9 +65,11 @@ def main(argv=None):
     views = []
     for direction in ([1.0, -1.0, 0.7], [-1.0, -1.0, 0.7], [0.0, 0.0, 1.0]):
         cam = view_camera(scene, np.asarray(direction), args.resolution)
+        scene_colors = scene.baked_vertex_colors()
         out = rasterize_mesh(jnp.asarray(scene.vertices),
                              jnp.asarray(scene.faces), cam,
-                             vertex_colors=jnp.asarray(scene.vertex_colors))
+                             vertex_colors=(None if scene_colors is None
+                                            else jnp.asarray(scene_colors)))
         img = np.where(np.asarray(out["mask"])[..., None],
                        np.asarray(out["rgb"]), 1.0)
         views.append(img)

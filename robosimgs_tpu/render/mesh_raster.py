@@ -110,6 +110,32 @@ def _clip_near_plane(tri, attr, near: float):
     return tri_out, attr_out, valid, src_out
 
 
+def _sample_texture_image(texture: jax.Array, u: jax.Array,
+                          v: jax.Array) -> jax.Array:
+    """Bilinear (H, W) texture lookup, glTF REPEAT wrap, v down from the
+    image top. One whole-image gather — texture sampling stays OUT of
+    the per-tile loop (row-gather issue rate dominates; see
+    docs/ROOFLINE.md) and XLA fuses the weighting into the gather."""
+    th, tw = texture.shape[0], texture.shape[1]
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), tw)
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, tw)
+    y0i = jnp.mod(y0.astype(jnp.int32), th)
+    y1i = jnp.mod(y0.astype(jnp.int32) + 1, th)
+    c00 = texture[y0i, x0i]
+    c01 = texture[y0i, x1i]
+    c10 = texture[y1i, x0i]
+    c11 = texture[y1i, x1i]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
 def rasterize_mesh(
     vertices: jax.Array,          # (V, 3) world space
     faces: jax.Array,             # (F, 3) int32
@@ -118,9 +144,19 @@ def rasterize_mesh(
     face_colors: Optional[jax.Array] = None,     # (F, 3)
     cfg: MeshRasterConfig = MeshRasterConfig(),
     face_valid: Optional[jax.Array] = None,      # (F,) bool
+    vertex_uvs: Optional[jax.Array] = None,      # (V, 2) texcoords
+    texture: Optional[jax.Array] = None,         # (Th, Tw, 3) in [0,1]
 ) -> Dict[str, jax.Array]:
     """Returns rgb (H,W,3), depth (H,W; +inf empty), mask (H,W) bool,
-    face_id (H,W) int32 (-1 empty), stats."""
+    face_id (H,W) int32 (-1 empty), stats.
+
+    With vertex_uvs + texture, UVs ride the two spare attribute rows
+    through the tile loop (perspective-correct like colors) and the
+    texture is sampled bilinearly ONCE over the full image outside the
+    loop; rgb = interpolated color x texture (glTF base-color
+    modulation; the color term defaults to 1 when only a texture is
+    given). The textured-scan parity path for the reference's
+    trimesh/pyglet viewer (`interactive_segmenter.py:255-381`)."""
     W, H = camera.width, camera.height
     ts = cfg.tile_size
     tiles_x, tiles_y = num_tiles(W, H, ts)
@@ -131,12 +167,22 @@ def rasterize_mesh(
 
     f = faces
     tri_cam = t[f]                                   # (F, 3, 3) camera space
+    textured = vertex_uvs is not None and texture is not None
     if face_colors is None:
         if vertex_colors is None:
-            vertex_colors = jnp.full_like(vertices, 0.7)
+            # white base color under a texture (pure texture look);
+            # the legacy light gray otherwise
+            vertex_colors = jnp.full_like(
+                vertices, 1.0 if textured else 0.7)
         tri_col = vertex_colors[f]                   # (F, 3, 3)
     else:
         tri_col = jnp.broadcast_to(face_colors[:, None, :], (f.shape[0], 3, 3))
+    if textured:
+        tri_col = jnp.concatenate([tri_col, vertex_uvs[f]], axis=-1)
+    else:
+        tri_col = jnp.concatenate(
+            [tri_col, jnp.zeros(tri_col.shape[:2] + (2,), tri_col.dtype)],
+            axis=-1)                                 # (F, 3, 5): rgb + uv
 
     tri_z_orig = tri_cam[:, :, 2]
     near_straddle = ((tri_z_orig > cfg.near).any(1)
@@ -246,10 +292,10 @@ def rasterize_mesh(
         fid = jnp.where(hit, fidk[best], -1)
         col = jnp.where(hit[:, None], col, 0.0)
         depth_out = jnp.where(hit, depth, jnp.inf)
-        # pack into (8, P) rows: r g b depth hit fid 0 0
+        # pack into (8, P) rows: r g b depth hit fid u v
         out = jnp.stack([col[:, 0], col[:, 1], col[:, 2], depth_out,
                          hit.astype(jnp.float32), fid.astype(jnp.float32),
-                         jnp.zeros_like(depth), jnp.zeros_like(depth)], 0)
+                         col[:, 3], col[:, 4]], 0)
         return out
 
     T = tiles_x * tiles_y
@@ -258,8 +304,11 @@ def rasterize_mesh(
     img = untile(tiles, tiles_x, tiles_y, W, H, ts)  # (H, W, 8)
     mask = img[..., 4] > 0.5
     depth = jnp.where(mask, img[..., 3], jnp.inf)
+    rgb = img[..., :3]
+    if textured:
+        rgb = rgb * _sample_texture_image(texture, img[..., 6], img[..., 7])
     return {
-        "rgb": img[..., :3],
+        "rgb": rgb,
         "depth": depth,
         "mask": mask,
         "face_id": jnp.where(mask, img[..., 5].astype(jnp.int32), -1),

@@ -57,7 +57,7 @@ class ArticulatedObject:
             M = T[name] @ link.visual_origin
             scaled = mesh.vertices * link.visual_scale[None, :]
             v = scaled @ M[:3, :3].T + M[:3, 3]
-            colors = mesh.vertex_colors
+            colors = mesh.baked_vertex_colors()
             if colors is None:
                 base = link.color if link.color is not None else np.full(3, 0.7)
                 colors = np.tile(base.astype(np.float32), (v.shape[0], 1))

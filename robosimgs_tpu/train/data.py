@@ -228,9 +228,11 @@ def synthetic_mesh_scene(
         eye = [camera_distance * np.cos(ang), camera_distance * np.sin(ang),
                1.2 + 0.3 * np.sin(2 * ang)]
         cam = Camera.look_at(eye, [0, 0, -0.1], [0, 0, 1], 50.0, width, height)
+        scene_colors = scene.baked_vertex_colors()
         out = rasterize_mesh(jnp.asarray(scene.vertices),
                              jnp.asarray(scene.faces), cam,
-                             vertex_colors=jnp.asarray(scene.vertex_colors),
+                             vertex_colors=(None if scene_colors is None
+                                            else jnp.asarray(scene_colors)),
                              cfg=mcfg)
         img = np.where(np.asarray(out["mask"])[..., None],
                        np.asarray(out["rgb"]), 1.0).astype(np.float32)

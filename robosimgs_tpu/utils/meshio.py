@@ -24,6 +24,8 @@ class Mesh:
     vertices: np.ndarray                      # (V, 3) float32
     faces: np.ndarray                         # (F, 3) int32
     vertex_colors: Optional[np.ndarray] = None  # (V, 3) float32 in [0,1]
+    uv: Optional[np.ndarray] = None           # (V, 2) float32 texcoords
+    texture: Optional[np.ndarray] = None      # (Th, Tw, 3) float32 in [0,1]
 
     @property
     def bounds(self) -> np.ndarray:
@@ -73,36 +75,103 @@ class Mesh:
         used, inverse = np.unique(faces.reshape(-1), return_inverse=True)
         new_faces = inverse.reshape(-1, 3).astype(np.int32)
         vc = self.vertex_colors[used] if self.vertex_colors is not None else None
+        uv = self.uv[used] if self.uv is not None else None
         return Mesh(vertices=self.vertices[used].copy(), faces=new_faces,
-                    vertex_colors=vc)
+                    vertex_colors=vc, uv=uv, texture=self.texture)
 
-    def sample_surface(self, n: int, seed: int = 0) -> np.ndarray:
-        """Area-weighted uniform surface samples (n, 3) — the headless
-        replacement for Open3D's sample_points_uniformly."""
+    def baked_vertex_colors(self) -> Optional[np.ndarray]:
+        """(V, 3) colors: explicit vertex colors, else the texture
+        sampled at each vertex's UV (texture appearance at vertex
+        resolution — the color source for splat init / shaded views)."""
+        if self.vertex_colors is not None:
+            return self.vertex_colors
+        if self.uv is not None and self.texture is not None:
+            return sample_texture(self.texture, self.uv)
+        return None
+
+    def _sample_barycentric(self, n: int, seed: int):
         rng = np.random.default_rng(seed)
         areas = self.face_areas()
         p = areas / areas.sum()
         fi = rng.choice(len(p), size=n, p=p)
         r1 = np.sqrt(rng.uniform(size=(n, 1)))
         r2 = rng.uniform(size=(n, 1))
+        w = np.concatenate([1 - r1, r1 * (1 - r2), r1 * r2], axis=1)
+        return fi, w.astype(np.float32)                # (n,), (n, 3)
+
+    def sample_surface(self, n: int, seed: int = 0) -> np.ndarray:
+        """Area-weighted uniform surface samples (n, 3) — the headless
+        replacement for Open3D's sample_points_uniformly."""
+        fi, w = self._sample_barycentric(n, seed)
         tri = self.vertices[self.faces[fi]]
-        return ((1 - r1) * tri[:, 0] + r1 * (1 - r2) * tri[:, 1]
-                + r1 * r2 * tri[:, 2]).astype(np.float32)
+        return np.einsum("ni,nic->nc", w, tri).astype(np.float32)
+
+    def sample_surface_colored(self, n: int, seed: int = 0):
+        """(points (n, 3), colors (n, 3) or None): surface samples with
+        appearance — texture sampled at the interpolated UV when the
+        mesh is textured, else interpolated vertex colors. The splat
+        initializer for textured scans."""
+        fi, w = self._sample_barycentric(n, seed)
+        tri = self.vertices[self.faces[fi]]
+        pts = np.einsum("ni,nic->nc", w, tri).astype(np.float32)
+        if self.uv is not None and self.texture is not None:
+            uv = np.einsum("ni,nic->nc", w, self.uv[self.faces[fi]])
+            return pts, sample_texture(self.texture, uv)
+        if self.vertex_colors is not None:
+            col = np.einsum("ni,nic->nc", w, self.vertex_colors[self.faces[fi]])
+            return pts, col.astype(np.float32)
+        return pts, None
+
+
+def sample_texture(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Bilinear texture sample at (N, 2) UVs (glTF REPEAT wrap,
+    v down from the image top). Returns (N, 3) float32."""
+    th, tw = texture.shape[:2]
+    x = np.asarray(uv[:, 0], np.float64) * tw - 0.5
+    y = np.asarray(uv[:, 1], np.float64) * th - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0m, x1m = x0 % tw, (x0 + 1) % tw
+    y0m, y1m = y0 % th, (y0 + 1) % th
+    t = texture.astype(np.float32)
+    c00, c01 = t[y0m, x0m], t[y0m, x1m]
+    c10, c11 = t[y1m, x0m], t[y1m, x1m]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
 
 
 def concatenate(meshes: List[Mesh]) -> Mesh:
     offs = 0
-    vs, fs, cs = [], [], []
-    has_color = any(m.vertex_colors is not None for m in meshes)
-    for m in meshes:
+    vs, fs, cs, uvs = [], [], [], []
+    # a shared texture survives concatenation only when every part uses
+    # the SAME texture array and carries UVs; otherwise per-part
+    # textures are baked to vertex colors (appearance at vertex
+    # resolution) so multi-material scans still load with color
+    textures = [m.texture for m in meshes if m.texture is not None]
+    shared_tex = (len(textures) == len(meshes) and len(meshes) > 0
+                  and all(t is textures[0] or
+                          (t.shape == textures[0].shape
+                           and np.array_equal(t, textures[0]))
+                          for t in textures)
+                  and all(m.uv is not None for m in meshes))
+    baked = [m.baked_vertex_colors() if not shared_tex else m.vertex_colors
+             for m in meshes]
+    has_color = any(c is not None for c in baked)
+    for m, c in zip(meshes, baked):
         vs.append(m.vertices)
         fs.append(m.faces + offs)
         if has_color:
-            cs.append(m.vertex_colors if m.vertex_colors is not None
-                      else np.full_like(m.vertices, 0.7))
+            cs.append(c if c is not None else np.full_like(m.vertices, 0.7))
+        if shared_tex:
+            uvs.append(m.uv)
         offs += m.vertices.shape[0]
     return Mesh(vertices=np.concatenate(vs), faces=np.concatenate(fs),
-                vertex_colors=np.concatenate(cs) if has_color else None)
+                vertex_colors=np.concatenate(cs) if has_color else None,
+                uv=np.concatenate(uvs) if shared_tex else None,
+                texture=textures[0] if shared_tex else None)
 
 
 def load_mesh(path: str) -> Mesh:
@@ -198,25 +267,83 @@ def _load_glb(path: str) -> Mesh:
             T[:3, 3] = node["translation"]
         return T
 
+    _image_cache: dict = {}
+
+    def read_image(img_idx: int) -> Optional[np.ndarray]:
+        """Decode images[img_idx] (PNG/JPEG in a bufferView) to (H, W, 3)
+        float32 in [0, 1]; None when undecodable or external-URI."""
+        if img_idx in _image_cache:
+            return _image_cache[img_idx]
+        img = gltf["images"][img_idx]
+        out = None
+        if "bufferView" in img:
+            view = gltf["bufferViews"][img["bufferView"]]
+            off = view.get("byteOffset", 0)
+            data = binary[off: off + view["byteLength"]]
+            try:
+                import io
+
+                from PIL import Image
+                pil = Image.open(io.BytesIO(data)).convert("RGB")
+                out = np.asarray(pil, np.float32) / 255.0
+            except Exception:
+                out = None
+        _image_cache[img_idx] = out
+        return out
+
+    def read_base_color(prim: dict):
+        """(texture (H, W, 3) or None, factor (3,)) from the primitive's
+        material pbrMetallicRoughness base color."""
+        factor = np.ones(3, np.float32)
+        tex = None
+        mi = prim.get("material")
+        if mi is None:
+            return tex, factor
+        pbr = gltf.get("materials", [{}])[mi].get("pbrMetallicRoughness", {})
+        if "baseColorFactor" in pbr:
+            factor = np.asarray(pbr["baseColorFactor"][:3], np.float32)
+        bct = pbr.get("baseColorTexture")
+        if bct is not None:
+            src = gltf["textures"][bct["index"]].get("source")
+            if src is not None:
+                tex = read_image(src)
+        return tex, factor
+
     parts: List[Mesh] = []
+
+    def load_prim(prim: dict) -> Mesh:
+        pos = read_accessor(prim["attributes"]["POSITION"]).astype(np.float32)
+        if "indices" in prim:
+            idx = read_accessor(prim["indices"]).reshape(-1).astype(np.int32)
+        else:
+            idx = np.arange(pos.shape[0], dtype=np.int32)
+        faces = idx.reshape(-1, 3)
+        colors = None
+        if "COLOR_0" in prim["attributes"]:
+            c = read_accessor(prim["attributes"]["COLOR_0"]).astype(np.float32)
+            colors = c[:, :3]
+        uv = None
+        if "TEXCOORD_0" in prim["attributes"]:
+            uv = read_accessor(
+                prim["attributes"]["TEXCOORD_0"]).astype(np.float32)[:, :2]
+        tex, factor = read_base_color(prim)
+        if tex is not None and uv is None:
+            tex = None  # texture unusable without texcoords
+        if not np.allclose(factor, 1.0):
+            if tex is not None:
+                tex = tex * factor[None, None, :]
+            elif colors is not None:
+                colors = colors * factor[None, :]
+            else:
+                colors = np.broadcast_to(factor, pos.shape).copy()
+        return Mesh(pos, faces, colors, uv=uv, texture=tex)
 
     def visit(node_idx: int, parent_T: np.ndarray):
         node = gltf["nodes"][node_idx]
         T = parent_T @ node_transform(node)
         if "mesh" in node:
             for prim in gltf["meshes"][node["mesh"]]["primitives"]:
-                pos = read_accessor(prim["attributes"]["POSITION"]).astype(np.float32)
-                if "indices" in prim:
-                    idx = read_accessor(prim["indices"]).reshape(-1).astype(np.int32)
-                else:
-                    idx = np.arange(pos.shape[0], dtype=np.int32)
-                faces = idx.reshape(-1, 3)
-                colors = None
-                if "COLOR_0" in prim["attributes"]:
-                    c = read_accessor(prim["attributes"]["COLOR_0"]).astype(np.float32)
-                    colors = c[:, :3]
-                m = Mesh(pos, faces, colors).transformed(T)
-                parts.append(m)
+                parts.append(load_prim(prim).transformed(T))
         for child in node.get("children", []):
             visit(child, T)
 
@@ -229,11 +356,7 @@ def _load_glb(path: str) -> Mesh:
     else:  # no scene graph: read all mesh primitives directly
         for mesh in gltf.get("meshes", []):
             for prim in mesh["primitives"]:
-                pos = read_accessor(prim["attributes"]["POSITION"]).astype(np.float32)
-                idx = (read_accessor(prim["indices"]).reshape(-1).astype(np.int32)
-                       if "indices" in prim else
-                       np.arange(pos.shape[0], dtype=np.int32))
-                parts.append(Mesh(pos, idx.reshape(-1, 3)))
+                parts.append(load_prim(prim))
     if not parts:
         raise ValueError(f"no triangle meshes in {path}")
     return concatenate(parts) if len(parts) > 1 else parts[0]
@@ -257,24 +380,57 @@ def _save_glb(path: str, mesh: Mesh) -> None:
     for i, ch in enumerate(chunks):
         views.append({"buffer": 0, "byteOffset": off, "byteLength": len(ch)})
         off += len(ch) + (-len(ch)) % 4
+
+    def add_chunk(ch: bytes) -> int:
+        nonlocal off
+        chunks.append(ch)
+        views.append({"buffer": 0, "byteOffset": off, "byteLength": len(ch)})
+        off += len(ch) + (-len(ch)) % 4
+        return len(views) - 1
+
     if mesh.vertex_colors is not None:
         col = np.ascontiguousarray(mesh.vertex_colors, np.float32)
-        chunks.append(col.tobytes())
-        views.append({"buffer": 0, "byteOffset": off, "byteLength": len(chunks[-1])})
-        attrs["COLOR_0"] = 2
-        accessors.append({"bufferView": 2, "componentType": 5126,
+        vi = add_chunk(col.tobytes())
+        attrs["COLOR_0"] = len(accessors)
+        accessors.append({"bufferView": vi, "componentType": 5126,
                           "count": int(col.shape[0]), "type": "VEC3"})
+    gltf_extra: dict = {}
+    if mesh.uv is not None:
+        uvd = np.ascontiguousarray(mesh.uv, np.float32)
+        vi = add_chunk(uvd.tobytes())
+        attrs["TEXCOORD_0"] = len(accessors)
+        accessors.append({"bufferView": vi, "componentType": 5126,
+                          "count": int(uvd.shape[0]), "type": "VEC2"})
+        if mesh.texture is not None:
+            import io
+
+            from PIL import Image
+            img = Image.fromarray(
+                np.clip(mesh.texture * 255.0, 0, 255).astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            vi = add_chunk(buf.getvalue())
+            gltf_extra = {
+                "images": [{"bufferView": vi, "mimeType": "image/png"}],
+                "samplers": [{}],
+                "textures": [{"sampler": 0, "source": 0}],
+                "materials": [{"pbrMetallicRoughness":
+                               {"baseColorTexture": {"index": 0}}}],
+            }
     bin_data = b"".join(ch + b"\x00" * ((-len(ch)) % 4) for ch in chunks)
+    prim = {"attributes": attrs, "indices": 1, "mode": 4}
+    if gltf_extra:
+        prim["material"] = 0
     gltf = {
         "asset": {"version": "2.0", "generator": "robosimgs_tpu"},
         "scene": 0,
         "scenes": [{"nodes": [0]}],
         "nodes": [{"mesh": 0}],
-        "meshes": [{"primitives": [
-            {"attributes": attrs, "indices": 1, "mode": 4}]}],
+        "meshes": [{"primitives": [prim]}],
         "accessors": accessors,
         "bufferViews": views,
         "buffers": [{"byteLength": len(bin_data)}],
+        **gltf_extra,
     }
     js = json.dumps(gltf).encode("utf-8")
     js += b" " * ((-len(js)) % 4)

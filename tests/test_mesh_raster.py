@@ -171,3 +171,72 @@ def test_near_plane_clipping():
                                np.asarray(out_d["rgb"])[same], atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_c["depth"])[same],
                                np.asarray(out_d["depth"])[same], rtol=1e-5)
+
+
+def test_textured_quad_orientation_and_values():
+    """UV-textured raster: a 2x2 four-color texture on a quad facing the
+    camera lands each color in the correct image quadrant (perspective-
+    correct interpolation + glTF v-down convention), exactly at texel
+    centers."""
+    v, f, _ = unit_quad(size=0.8)
+    # texture: row 0 (v=0, TOP) = [red | green], row 1 = [blue | white]
+    tex = jnp.asarray(np.array(
+        [[[1, 0, 0], [0, 1, 0]],
+         [[0, 0, 1], [1, 1, 1]]], np.float32))
+    # quad verts (x=0 plane), (y, z) = [-s,-s],[s,-s],[s,s],[-s,s].
+    # This camera maps image-right = +y world, image-up = +z world
+    # (probed empirically), so the image corners are: top-left =
+    # vert 3 (-s,+s), top-right = vert 2 (+s,+s), bottom-right =
+    # vert 1 (+s,-s), bottom-left = vert 0 (-s,-s). uv(0,0) is the
+    # texture's top-left (red).
+    uv = jnp.asarray(np.array(
+        [[0, 1], [1, 1], [1, 0], [0, 0]], np.float32))
+    out = rasterize_mesh(v, f, cam(), vertex_uvs=uv, texture=tex)
+    rgb = np.asarray(out["rgb"])
+    mask = np.asarray(out["mask"])
+    assert mask[32, 32]
+    # sample inside each quadrant, at pixels well inside the quad
+    tl, tr = rgb[26, 26], rgb[26, 38]
+    bl, br = rgb[38, 26], rgb[38, 38]
+    assert mask[26, 26] and mask[38, 38]
+    np.testing.assert_allclose(tl, [1, 0, 0], atol=0.2)   # red
+    np.testing.assert_allclose(tr, [0, 1, 0], atol=0.2)   # green
+    np.testing.assert_allclose(bl, [0, 0, 1], atol=0.2)   # blue
+    np.testing.assert_allclose(br, [1, 1, 1], atol=0.2)   # white
+
+
+def test_textured_modulates_vertex_colors():
+    """texture x interpolated color: a 0.5-gray color scales the texture."""
+    v, f, _ = unit_quad(size=0.8)
+    tex = jnp.ones((4, 4, 3), jnp.float32)
+    uv = jnp.asarray(np.full((4, 2), 0.5, np.float32))
+    half = jnp.full((4, 3), 0.5, jnp.float32)
+    out = rasterize_mesh(v, f, cam(), vertex_colors=half,
+                         vertex_uvs=uv, texture=tex)
+    np.testing.assert_allclose(np.asarray(out["rgb"])[32, 32], [0.5] * 3,
+                               atol=1e-5)
+
+
+def test_textured_near_clip_keeps_uv():
+    """UVs survive near-plane clipping (the clipper interpolates the
+    full attribute vector): a straddling textured quad still shows the
+    texture, not garbage."""
+    tex = jnp.asarray(np.array(
+        [[[1, 0, 0], [0, 1, 0]],
+         [[0, 0, 1], [1, 1, 1]]], np.float32))
+    # quad straddling the near plane: camera at +4 looking -x, quad
+    # plane x = 3.995+ spans in front/behind z=near
+    verts = np.array([[6.0, -1, -1], [0.0, 1, -1], [0.0, 1, 1],
+                      [6.0, -1, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    out = rasterize_mesh(jnp.asarray(verts), jnp.asarray(faces),
+                         cam(dist=4.0), vertex_uvs=jnp.asarray(uv),
+                         texture=tex)
+    rgb = np.asarray(out["rgb"])
+    mask = np.asarray(out["mask"])
+    assert int(out["near_clipped"]) > 0
+    assert mask.any()
+    vals = rgb[mask]
+    assert np.isfinite(vals).all()
+    assert (vals >= -1e-5).all() and (vals <= 1 + 1e-5).all()

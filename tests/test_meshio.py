@@ -97,3 +97,73 @@ def test_reference_glb_outputs_load():
     assert m.vertices.shape[0] > 100
     assert m.faces.max() < m.vertices.shape[0]
     assert np.isfinite(m.vertices).all()
+
+
+def _checker_texture(s=32, c0=(1.0, 0.0, 0.0), c1=(0.0, 0.0, 1.0)):
+    """(s, s, 3) checkerboard, 8x8-pixel squares."""
+    yy, xx = np.mgrid[0:s, 0:s]
+    sel = ((xx // 8 + yy // 8) % 2).astype(bool)
+    tex = np.where(sel[..., None], np.asarray(c1, np.float32),
+                   np.asarray(c0, np.float32))
+    return tex.astype(np.float32)
+
+
+def _textured_quad():
+    """Unit quad in the XY plane with corner-spanning UVs."""
+    v = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    f = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return Mesh(vertices=v, faces=f, uv=uv, texture=_checker_texture())
+
+
+def test_glb_texture_roundtrip(tmp_path):
+    m = _textured_quad()
+    p = str(tmp_path / "tex.glb")
+    save_mesh(p, m)
+    m2 = load_mesh(p)
+    np.testing.assert_allclose(m2.uv, m.uv, atol=1e-6)
+    assert m2.texture is not None and m2.texture.shape == m.texture.shape
+    # PNG round-trip is lossless for these exact colors
+    np.testing.assert_allclose(m2.texture, m.texture, atol=1 / 255.0)
+
+
+def test_sample_texture_bilinear_and_wrap():
+    from robosimgs_tpu.utils.meshio import sample_texture
+    tex = np.zeros((4, 4, 3), np.float32)
+    tex[0, 0] = [1.0, 0.0, 0.0]
+    # texel centers: uv (0.125, 0.125) hits texel (0,0) exactly
+    c = sample_texture(tex, np.asarray([[0.125, 0.125]], np.float32))
+    np.testing.assert_allclose(c[0], [1, 0, 0], atol=1e-6)
+    # halfway toward the next texel center mixes 50/50
+    c = sample_texture(tex, np.asarray([[0.25, 0.125]], np.float32))
+    np.testing.assert_allclose(c[0], [0.5, 0, 0], atol=1e-6)
+    # REPEAT wrap: uv + 1.0 is identical
+    c2 = sample_texture(tex, np.asarray([[1.25, 1.125]], np.float32))
+    np.testing.assert_allclose(c2[0], [0.5, 0, 0], atol=1e-6)
+
+
+def test_baked_vertex_colors_and_colored_sampling():
+    m = _textured_quad()
+    baked = m.baked_vertex_colors()
+    assert baked.shape == (4, 3)
+    # corner uv (0,0) REPEAT-wraps: a red/blue edge mix, never green
+    assert baked[0, 0] >= 0.4 and baked[0, 1] < 1e-6
+    pts, cols = m.sample_surface_colored(256, seed=1)
+    assert pts.shape == (256, 3) and cols.shape == (256, 3)
+    # both checker colors appear among the samples
+    assert (cols[:, 0] > 0.7).any() and (cols[:, 2] > 0.7).any()
+
+
+def test_submesh_and_concat_preserve_uv():
+    m = _textured_quad()
+    sub = m.submesh(np.asarray([True, False]))
+    assert sub.uv is not None and sub.uv.shape == (3, 2)
+    assert sub.texture is m.texture
+    # shared texture survives concatenation
+    cat = concatenate([m, m.translated([2, 0, 0])])
+    assert cat.texture is not None and cat.uv.shape == (8, 2)
+    # differing textures are baked to vertex colors
+    other = _textured_quad()
+    other.texture = _checker_texture(c0=(0, 1, 0), c1=(1, 1, 0))
+    cat2 = concatenate([m, other])
+    assert cat2.texture is None and cat2.vertex_colors is not None
