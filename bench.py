@@ -38,10 +38,13 @@ def _pet():
     _last["t"] = time.time()
 
 
+_WATCHDOG_S = int(os.environ.get("RSGS_WATCHDOG_S", "420"))
+
+
 def _watchdog():
     while not _last["done"]:
         time.sleep(30)
-        if time.time() - _last["t"] > 420:
+        if time.time() - _last["t"] > _WATCHDOG_S:
             print("WATCHDOG: compile wedged — retry (perturb N)",
                   file=sys.stderr, flush=True)
             os._exit(17)
@@ -51,6 +54,11 @@ def main():
     global N_GAUSSIANS
     if len(sys.argv) > 1:
         N_GAUSSIANS = int(sys.argv[1])
+    # program-key perturbation on retry (CLAUDE.md): fold the tpu_run.sh
+    # attempt into the PRIMARY bench shapes too — a wedge in the main
+    # step program otherwise resubmits the poisoned key on every retry
+    N_GAUSSIANS += 16 * max(
+        int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0) - 1, 0)
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
