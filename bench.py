@@ -26,7 +26,7 @@ BENCH_R1 = 1_252_863.8  # round-1 recorded value (TPU v5e, 2026-08-17)
 
 N_GAUSSIANS = 100_000
 RES = 256
-ITERS = 30
+ITERS = int(os.environ.get("RSGS_BENCH_ITERS", "30"))
 
 # axon wedge watchdog (CLAUDE.md): if a compile hangs >420s, exit 17 so
 # scripts/tpu_run.sh can probe + retry; pass an N override (argv[1]) to

@@ -35,6 +35,12 @@ class MeshRasterConfig:
     # degenerate unless clipping splits a quad). Off = drop straddling
     # triangles whole and count them (the pre-round-2 behavior).
     clip_near: bool = True
+    # candidate-chunked z-buffering: stream tile candidates in chunks of
+    # tri_chunk, carrying only the per-pixel running (depth, winner) —
+    # tile_capacity becomes HBM-bounded instead of materializing
+    # (T, K, 26) gathers (the mesh analog of the splat compositor's
+    # tile_chunk). 0 = unchunked legacy path.
+    tri_chunk: int = 0
 
 
 def _clip_near_plane(tri, attr, near: float):
@@ -136,6 +142,105 @@ def _sample_texture_image(texture: jax.Array, u: jax.Array,
     return top * (1 - fy) + bot * fy
 
 
+def _composite_tiles_chunked(sel, counts, tri_uv, tri_invz, tri_attr,
+                             area, fid_src, tiles_x, ts, chunk):
+    """Candidate-chunked per-tile z-buffer: stream each tile's candidate
+    list in `chunk`-sized slices, carrying only the per-pixel running
+    (depth, winner index); the winning triangle's attributes are
+    gathered ONCE per pixel afterwards. Peak memory is O(T*K) int32 for
+    the selection matrix + O(chunk) rows per step — never the
+    (T, K, 26) float materialization of the unchunked path. Returns
+    (T, 8, P) packed tiles."""
+    P = ts * ts
+    F = tri_uv.shape[0]
+    K = sel.shape[1]
+    C = min(chunk, K)
+    nck = -(-K // C)
+    if nck * C != K:
+        sel = jnp.pad(sel, ((0, 0), (0, nck * C - K)))
+    Adim = tri_attr.shape[-1]
+    # one packed row per clipped triangle (gather cost scales with row
+    # COUNT, not width — docs/ROOFLINE.md): uv(6) invz(3) area(1)
+    # attr(3*Adim) fid(1)
+    packed = jnp.concatenate([
+        tri_uv.reshape(F, 6), tri_invz, area[:, None],
+        tri_attr.reshape(F, 3 * Adim),
+        fid_src.astype(jnp.float32)[:, None]], axis=1)
+
+    def empty_tile(_):
+        out = jnp.zeros((8, P), jnp.float32)
+        out = out.at[3].set(jnp.inf)
+        out = out.at[5].set(-1.0)
+        return out
+
+    def work(args):
+        t_idx, selk, count = args
+        ox = (t_idx % tiles_x) * ts
+        oy = (t_idx // tiles_x) * ts
+        p = jnp.arange(P, dtype=jnp.int32)
+        px = (ox + p % ts).astype(jnp.float32)
+        py = (oy + p // ts).astype(jnp.float32)
+        pxc, pyc = px[:, None], py[:, None]
+
+        def body(carry, ck):
+            best_z, best_k = carry
+            idx = jax.lax.dynamic_slice(selk, (ck * C,), (C,))
+            rows = packed[idx]                                # (C, D)
+            ax, ay = rows[None, :, 0], rows[None, :, 1]
+            bx, by = rows[None, :, 2], rows[None, :, 3]
+            cx_, cy_ = rows[None, :, 4], rows[None, :, 5]
+            areac = rows[:, 9]
+            inv_area = 1.0 / jnp.where(areac == 0, 1.0, areac)[None, :]
+            wa = ((cx_ - bx) * (pyc - by) - (cy_ - by) * (pxc - bx)) * inv_area
+            wb = ((ax - cx_) * (pyc - cy_) - (ay - cy_) * (pxc - cx_)) * inv_area
+            wc = 1.0 - wa - wb
+            kmask = (ck * C + jnp.arange(C, dtype=jnp.int32) < count)[None, :]
+            inside = (wa >= 0) & (wb >= 0) & (wc >= 0) & kmask
+            invz_p = (wa * rows[None, :, 6] + wb * rows[None, :, 7]
+                      + wc * rows[None, :, 8])
+            z_p = 1.0 / jnp.maximum(invz_p, 1e-12)
+            zm = jnp.where(inside & (invz_p > 0), z_p, jnp.inf)
+            cz = jnp.min(zm, axis=1)
+            ca = jnp.argmin(zm, axis=1).astype(jnp.int32)
+            better = cz < best_z           # strict: earlier chunk wins
+            best_z = jnp.where(better, cz, best_z)
+            best_k = jnp.where(better, ck * C + ca, best_k)
+            return (best_z, best_k), None
+
+        init = (jnp.full((P,), jnp.inf, jnp.float32),
+                jnp.zeros((P,), jnp.int32))
+        (best_z, best_k), _ = jax.lax.scan(
+            body, init, jnp.arange(nck, dtype=jnp.int32))
+        hit = jnp.isfinite(best_z)
+        gi = selk[best_k]
+        rows = packed[gi]                                     # (P, D)
+        ax, ay, bx, by, cxr, cyr = (rows[:, i] for i in range(6))
+        inv_area = 1.0 / jnp.where(rows[:, 9] == 0, 1.0, rows[:, 9])
+        wa = ((cxr - bx) * (py - by) - (cyr - by) * (px - bx)) * inv_area
+        wb = ((ax - cxr) * (py - cyr) - (ay - cyr) * (px - cxr)) * inv_area
+        wc = 1.0 - wa - wb
+        invzb = rows[:, 6:9]
+        invz_pix = wa * invzb[:, 0] + wb * invzb[:, 1] + wc * invzb[:, 2]
+        wab = jnp.stack([wa, wb, wc], -1)
+        attr = rows[:, 10:10 + 3 * Adim].reshape(P, 3, Adim)
+        col = jnp.einsum("pi,pia,pi->pa", wab, attr,
+                         invzb) / jnp.maximum(invz_pix, 1e-12)[:, None]
+        fid = jnp.where(hit, rows[:, -1].astype(jnp.int32), -1)
+        col = jnp.where(hit[:, None], col, 0.0)
+        depth_out = jnp.where(hit, best_z, jnp.inf)
+        return jnp.stack([col[:, 0], col[:, 1], col[:, 2], depth_out,
+                          hit.astype(jnp.float32), fid.astype(jnp.float32),
+                          col[:, 3], col[:, 4]], 0)
+
+    def one_tile(args):
+        _, _, count = args
+        return jax.lax.cond(count > 0, work, empty_tile, args)
+
+    T = sel.shape[0]
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    return jax.lax.map(one_tile, (t_idx, sel, counts))
+
+
 def rasterize_mesh(
     vertices: jax.Array,          # (V, 3) world space
     faces: jax.Array,             # (F, 3) int32
@@ -232,6 +337,29 @@ def rasterize_mesh(
     sel, counts, stats = bin_rects(tx0, ty0, tx1, ty1, rank, valid,
                                    tiles_x, tiles_y, cfg.max_tiles_per_tri,
                                    cfg.tile_capacity)
+
+    if cfg.tri_chunk > 0:
+        tiles = _composite_tiles_chunked(
+            sel, counts, tri_uv, tri_invz, tri_col, area, fid_src,
+            tiles_x, ts, cfg.tri_chunk)
+        img = untile(tiles, tiles_x, tiles_y, W, H, ts)  # (H, W, 8)
+        mask = img[..., 4] > 0.5
+        depth = jnp.where(mask, img[..., 3], jnp.inf)
+        rgb = img[..., :3]
+        if textured:
+            rgb = rgb * _sample_texture_image(texture, img[..., 6],
+                                              img[..., 7])
+        return {
+            "rgb": rgb,
+            "depth": depth,
+            "mask": mask,
+            "face_id": jnp.where(mask, img[..., 5].astype(jnp.int32), -1),
+            "stats": stats,
+            "near_dropped": (jnp.asarray(0, jnp.int32) if cfg.clip_near
+                             else jnp.sum(near_straddle).astype(jnp.int32)),
+            "near_clipped": (jnp.sum(near_straddle).astype(jnp.int32)
+                             if cfg.clip_near else jnp.asarray(0, jnp.int32)),
+        }
 
     K = cfg.tile_capacity
     g_uv = tri_uv[sel]        # (T, K, 3, 2)

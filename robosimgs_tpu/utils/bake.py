@@ -107,6 +107,7 @@ def bake_vertex_colors_from_views(
     min_cos: float = 0.15,                   # grazing-angle cutoff
     tile_capacity: int = 1024,
     max_tiles_per_tri: int = 512,
+    tri_chunk: int = 0,                      # chunked z-buffer (big K)
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Back-project posed views onto mesh vertices.
 
@@ -128,7 +129,8 @@ def bake_vertex_colors_from_views(
     acc = np.zeros((V, 3), np.float64)
     wsum = np.zeros((V,), np.float64)
     cfg = MeshRasterConfig(tile_capacity=tile_capacity,
-                           max_tiles_per_tri=max_tiles_per_tri)
+                           max_tiles_per_tri=max_tiles_per_tri,
+                           tri_chunk=tri_chunk)
     jverts = jnp.asarray(v)
     jfaces = jnp.asarray(mesh.faces)
     for img, cam in zip(images, cameras):

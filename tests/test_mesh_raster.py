@@ -240,3 +240,65 @@ def test_textured_near_clip_keeps_uv():
     vals = rgb[mask]
     assert np.isfinite(vals).all()
     assert (vals >= -1e-5).all() and (vals <= 1 + 1e-5).all()
+
+
+def test_tri_chunk_parity():
+    """Candidate-chunked z-buffering is EXACT vs the unchunked path
+    (same depths, colors, face ids), including when counts span
+    multiple chunks and K is not a chunk multiple."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    nb = 30
+    vs, fs, cs = [], [], []
+    off = 0
+    for i in range(nb):
+        c = rng.uniform(-0.7, 0.7, 3).astype(np.float32)
+        s = rng.uniform(0.1, 0.5)
+        v = (rng.uniform(-1, 1, (4, 3)) * s + c).astype(np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]], np.int32)
+        vs.append(v)
+        fs.append(f + off)
+        cs.append(np.tile(rng.uniform(0.1, 1.0, 3).astype(np.float32),
+                          (4, 1)))
+        off += 4
+    v = jnp.asarray(np.concatenate(vs))
+    f = jnp.asarray(np.concatenate(fs))
+    c = jnp.asarray(np.concatenate(cs))
+    camera = cam(w=96, h=64, dist=3.0)
+    base = MeshRasterConfig(tile_capacity=96, max_tiles_per_tri=64)
+    out0 = rasterize_mesh(v, f, camera, vertex_colors=c, cfg=base)
+    assert int(out0["stats"].overflowed_tiles) == 0
+    assert int(jnp.max(out0["stats"].max_tile_count)) > 40  # multi-chunk
+    for chunk in (32, 40, 96):
+        cfgc = dataclasses.replace(base, tri_chunk=chunk)
+        outc = rasterize_mesh(v, f, camera, vertex_colors=c, cfg=cfgc)
+        np.testing.assert_allclose(np.asarray(outc["rgb"]),
+                                   np.asarray(out0["rgb"]),
+                                   rtol=1e-5, atol=1e-5)
+        d0 = np.asarray(out0["depth"])
+        dc = np.asarray(outc["depth"])
+        m = np.asarray(out0["mask"])
+        assert (np.asarray(outc["mask"]) == m).all()
+        np.testing.assert_allclose(dc[m], d0[m], rtol=1e-5)
+        assert (np.asarray(outc["face_id"]) == np.asarray(out0["face_id"])).all()
+
+
+def test_tri_chunk_textured_parity():
+    import dataclasses
+    v, f, _ = unit_quad(size=0.8)
+    tex = jnp.asarray(np.array(
+        [[[1, 0, 0], [0, 1, 0]],
+         [[0, 0, 1], [1, 1, 1]]], np.float32))
+    uv = jnp.asarray(np.array(
+        [[0, 1], [1, 1], [1, 0], [0, 0]], np.float32))
+    base = MeshRasterConfig(tile_capacity=64)
+    # camera nudged off axis so no pixel center lands EXACTLY on a
+    # triangle edge (knife-edge pixels flip with XLA fusion rounding)
+    camera = Camera.look_at([3.97, 0.013, 0.021], [0, 0, 0], [0, 0, 1],
+                            60.0, 64, 64)
+    out0 = rasterize_mesh(v, f, camera, vertex_uvs=uv, texture=tex, cfg=base)
+    outc = rasterize_mesh(v, f, camera, vertex_uvs=uv, texture=tex,
+                          cfg=dataclasses.replace(base, tri_chunk=16))
+    np.testing.assert_allclose(np.asarray(outc["rgb"]),
+                               np.asarray(out0["rgb"]), atol=1e-5)
