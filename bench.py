@@ -26,7 +26,7 @@ BENCH_R1 = 1_252_863.8  # round-1 recorded value (TPU v5e, 2026-08-17)
 
 N_GAUSSIANS = 100_000
 RES = 256
-ITERS = int(os.environ.get("RSGS_BENCH_ITERS", "30"))
+ITERS = int(os.environ.get("RSGS_BENCH_ITERS", "100"))
 
 # axon wedge watchdog (CLAUDE.md): if a compile hangs >420s, exit 17 so
 # scripts/tpu_run.sh can probe + retry; pass an N override (argv[1]) to
@@ -95,8 +95,10 @@ def main():
     # scene 88.5% of gaussians cover <= 4 tiles post-cull, so tier 1 =
     # everyone's first 4 slots + tier 2 = the widest 15% spill shrinks
     # the key sort 1.0M -> ~0.5M slots (exactness parity-tested; any
-    # spill drop would trip the trunc==0 assert below)
-    tt_split = int(os.environ.get("RSGS_BENCH_TT_SPLIT", "0"))
+    # spill drop would trip the trunc==0 assert below). DEFAULT since
+    # r4: 3x2-rep steady-state A/B (ITERS=100) measured 8.57/8.59 vs
+    # 9.00/9.05 ms train, 4.31 vs 4.84 ms fwd
+    tt_split = int(os.environ.get("RSGS_BENCH_TT_SPLIT", "4"))
     tt_frac = float(os.environ.get("RSGS_BENCH_TT_FRAC", "0.15"))
     cfg = RenderConfig(tile_capacity=512, max_tiles_per_gaussian=m_kept,
                        bbox_tiles_per_gaussian=m_bbox, alpha_mxu=a_mxu,

@@ -91,13 +91,14 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
         print(f"loaded cached dataset: {len(frames)} views", flush=True)
         return mesh, frames, ref_frames, names
 
-    # -- bake appearance from the six real views (CPU-friendly numpy) --
+    # -- bake appearance from the six real views --
     t0 = time.time()
+    attempt = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
     imgs6 = [f.load(background=(1, 1, 1)) for f in ref_frames]
     cams6 = [f.camera for f in ref_frames]
     colors, seen = bake_vertex_colors_from_views(
-        mesh, imgs6, cams6, tile_capacity=16384, max_tiles_per_tri=256,
-        tri_chunk=512)
+        mesh, imgs6, cams6, tile_capacity=16384 + attempt,
+        max_tiles_per_tri=256, tri_chunk=512)
     mesh.vertex_colors = colors
     print(f"bake: {seen.mean()*100:.1f}% verts seen, "
           f"{time.time()-t0:.1f}s", flush=True)
@@ -109,7 +110,6 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
              for c in cams6]
     radius = float(np.mean(dists))
     fov = 2.0 * np.degrees(np.arctan(400.0 / float(cams6[0].fx)))
-    attempt = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
     mcfg = MeshRasterConfig(tile_capacity=16384 + attempt,
                             max_tiles_per_tri=256, tri_chunk=512)
     elevations = (-42.0, -12.0, 20.0, 52.0)
