@@ -219,8 +219,11 @@ def _staged(err, pet):
     attempt = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
     res = 512
     n1m = 1_000_000 + (N_GAUSSIANS % 1000) + attempt
+    tt_split = int(os.environ.get("RSGS_BENCH_TT_SPLIT", "4"))
+    tt_frac = float(os.environ.get("RSGS_BENCH_TT_FRAC", "0.15"))
     cfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
-                       max_tiles_per_gaussian=8)
+                       max_tiles_per_gaussian=8,
+                       two_tier_split=tt_split, two_tier_spill_frac=tt_frac)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0,
                          res, res)
     g = Gaussians.random(jax.random.PRNGKey(1), n1m, sh_degree=3,
@@ -268,7 +271,8 @@ def _staged(err, pet):
     cams = [Camera.look_at([3.0 + 0.1 * i, 0.4, 1.0], [0, 0, 0],
                            [0, 0, 1], 60.0, 640, 480) for i in range(4)]
     rcfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
-                        max_tiles_per_gaussian=12)
+                        max_tiles_per_gaussian=12,
+                        two_tier_split=tt_split, two_tier_spill_frac=tt_frac)
 
     from robosimgs_tpu.render.binning import bin_and_gather_packed
     for i, c in enumerate(cams):

@@ -23,9 +23,12 @@ import time
 
 def start_wedge_guard(timeout_s: float = 420.0):
     """Returns pet(); arms the exit-17 watchdog unless the env forces
-    the cpu backend."""
+    the cpu backend. RSGS_WEDGE_S overrides the window (big programs —
+    e.g. chunked 800^2 mesh rasters — can take >420 s to compile
+    through the tunnel on a healthy service)."""
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return lambda: None
+    timeout_s = float(os.environ.get("RSGS_WEDGE_S", timeout_s))
 
     last = {"t": time.time()}
 
