@@ -108,6 +108,7 @@ def bake_vertex_colors_from_views(
     tile_capacity: int = 1024,
     max_tiles_per_tri: int = 512,
     tri_chunk: int = 0,                      # chunked z-buffer (big K)
+    pet=None,                                # watchdog callback per view
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Back-project posed views onto mesh vertices.
 
@@ -133,13 +134,22 @@ def bake_vertex_colors_from_views(
                            tri_chunk=tri_chunk)
     jverts = jnp.asarray(v)
     jfaces = jnp.asarray(mesh.faces)
+    # colors are irrelevant to the z-buffer but passing them as a traced
+    # INPUT (not a baked constant) gives this raster the same program
+    # signature as the colored target renders that typically follow —
+    # one slow tunnel compile instead of two
+    jcols = jnp.zeros_like(jverts)
     for img, cam in zip(images, cameras):
-        out = rasterize_mesh(jverts, jfaces, cam, cfg=cfg)
+        out = rasterize_mesh(jverts, jfaces, cam, vertex_colors=jcols,
+                             cfg=cfg)
         st = out["stats"]
         if int(st.truncated_gaussians) or int(st.overflowed_tiles):
             raise ValueError(
                 f"bake raster truncation (tris={int(st.truncated_gaussians)}"
-                f", tiles={int(st.overflowed_tiles)}): raise capacities")
+                f", tiles={int(st.overflowed_tiles)}, max_tile_count="
+                f"{int(st.max_tile_count)}): raise capacities")
+        if pet is not None:
+            pet()
         zbuf = np.asarray(out["depth"])          # (H, W), +inf empty
         w2c = np.asarray(cam.w2c)
         pc = v @ w2c[:3, :3].T + w2c[:3, 3]

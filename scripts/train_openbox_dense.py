@@ -99,7 +99,7 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
     tile_k = int(os.environ.get("DENSE_TILE_K", 32768))
     colors, seen = bake_vertex_colors_from_views(
         mesh, imgs6, cams6, tile_capacity=tile_k + attempt,
-        max_tiles_per_tri=256, tri_chunk=1024)
+        max_tiles_per_tri=256, tri_chunk=512, pet=_pet)
     mesh.vertex_colors = colors
     print(f"bake: {seen.mean()*100:.1f}% verts seen, "
           f"{time.time()-t0:.1f}s", flush=True)
@@ -112,7 +112,7 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
     radius = float(np.mean(dists))
     fov = 2.0 * np.degrees(np.arctan(400.0 / float(cams6[0].fx)))
     mcfg = MeshRasterConfig(tile_capacity=tile_k + attempt,
-                            max_tiles_per_tri=256, tri_chunk=1024)
+                            max_tiles_per_tri=256, tri_chunk=512)
     elevations = (-42.0, -12.0, 20.0, 52.0)
     per_ring = max(n_views // len(elevations), 1)
     frames = []
