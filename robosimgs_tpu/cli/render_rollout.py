@@ -30,6 +30,10 @@ def build_parser():
                    help="shard cameras over the 'data' mesh axis "
                         "(multi-chip rollout rendering; the BASELINE "
                         "config-4 scaling workload)")
+    p.add_argument("--autotune", action="store_true",
+                   help="measure the scene against the rollout cameras "
+                        "and render with lossless-fit capacities + the "
+                        "two-tier sort (fwd-only throughput win)")
     return p
 
 
@@ -92,9 +96,19 @@ def main(argv=None):
         camera_mesh = make_mesh(n_data, 1)
         print(f"sharding {len(cams)} cameras over {n_data} devices")
 
+    rcfg = None
+    if args.autotune:
+        from robosimgs_tpu.render.autotune import recommend_capacities
+        rcfg = recommend_capacities(background, cams)
+        print(f"autotuned: K={rcfg.tile_capacity} "
+              f"M={rcfg.max_tiles_per_gaussian} "
+              f"bbox={rcfg.bbox_tiles_per_gaussian} "
+              f"two_tier={rcfg.two_tier_split}")
+
+    kw = {} if rcfg is None else {"cfg": rcfg}
     frames = render_rollout(background, objects, traj, cams, impl=args.impl,
                             base_poses=base_poses, as_uint8=True,
-                            camera_mesh=camera_mesh)
+                            camera_mesh=camera_mesh, **kw)
     os.makedirs(args.output, exist_ok=True)
     T, C = frames.shape[:2]
     for t in range(T):

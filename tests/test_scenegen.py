@@ -266,3 +266,22 @@ def test_render_rollout_camera_sharded(tmp_path):
                             impl="reference")
     assert sharded.shape == percam.shape == (2, 8, 32, 32, 3)
     np.testing.assert_allclose(sharded, percam, atol=1e-5)
+
+
+def test_render_rollout_cli_autotune(tmp_path):
+    """CLI end-to-end with --autotune: scene-measured capacities (incl.
+    the two-tier sort pick) drive the render and frames land on disk."""
+    from robosimgs_tpu.cli.render_rollout import main as cli_main
+    from robosimgs_tpu.train.io_ply import save_ply
+
+    bg = Gaussians.random(jax.random.PRNGKey(3), 80, sh_degree=1, extent=1.5)
+    save_ply(str(tmp_path / "scene.ply"), bg)
+    out = tmp_path / "frames"
+    cli_main(["--scene", str(tmp_path / "scene.ply"),
+              "--steps", "2", "--n-cameras", "2",
+              "--width", "48", "--height", "32",
+              "--impl", "reference", "--autotune",
+              "--output", str(out)])
+    import glob
+    files = sorted(glob.glob(str(out / "frame_*.png")))
+    assert len(files) == 4          # 2 steps x 2 cameras
