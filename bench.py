@@ -38,7 +38,8 @@ def _pet():
     _last["t"] = time.time()
 
 
-_WATCHDOG_S = int(os.environ.get("RSGS_WATCHDOG_S", "420"))
+_WATCHDOG_S = int(os.environ.get(
+    "RSGS_WATCHDOG_S", os.environ.get("RSGS_WEDGE_S", "420")))
 
 
 def _watchdog():

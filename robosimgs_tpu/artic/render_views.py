@@ -64,10 +64,13 @@ def shade(mesh: Mesh, camera: Camera) -> np.ndarray:
     to_cam = eye[None, :] - mesh.face_centroids()
     to_cam /= np.clip(np.linalg.norm(to_cam, axis=1, keepdims=True), 1e-9, None)
     lam = np.abs((normals * to_cam).sum(1))
-    if mesh.uv is not None and mesh.texture is not None:
-        albedo = np.ones((mesh.faces.shape[0], 3), np.float32)
-    elif mesh.vertex_colors is not None:
+    textured = mesh.uv is not None and mesh.texture is not None
+    if mesh.vertex_colors is not None:
+        # under a texture this is the glTF color MODULATION term — the
+        # rasterizer multiplies the texture in per pixel
         albedo = mesh.vertex_colors[mesh.faces].mean(1)
+    elif textured:
+        albedo = np.ones((mesh.faces.shape[0], 3), np.float32)
     else:
         albedo = np.full((mesh.faces.shape[0], 3), 0.75, np.float32)
     return (albedo * (0.35 + 0.65 * lam)[:, None]).astype(np.float32)

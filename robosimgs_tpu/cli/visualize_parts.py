@@ -63,9 +63,9 @@ def main(argv=None):
     scene = concatenate(meshes + dots)
 
     views = []
+    scene_colors = scene.baked_vertex_colors()   # view-independent
     for direction in ([1.0, -1.0, 0.7], [-1.0, -1.0, 0.7], [0.0, 0.0, 1.0]):
         cam = view_camera(scene, np.asarray(direction), args.resolution)
-        scene_colors = scene.baked_vertex_colors()
         out = rasterize_mesh(jnp.asarray(scene.vertices),
                              jnp.asarray(scene.faces), cam,
                              vertex_colors=(None if scene_colors is None

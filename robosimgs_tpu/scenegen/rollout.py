@@ -36,6 +36,10 @@ class ArticulatedObject:
     link_meshes: Dict[str, Mesh]
     base_pose: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=np.float32))
+    # pose-independent per-link appearance, baked once (texture
+    # sampling at scan-scale meshes is O(V) — not per timestep)
+    _link_colors: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict, repr=False)
 
     @staticmethod
     def from_urdf(path: str, base_pose: Optional[np.ndarray] = None) -> "ArticulatedObject":
@@ -57,10 +61,15 @@ class ArticulatedObject:
             M = T[name] @ link.visual_origin
             scaled = mesh.vertices * link.visual_scale[None, :]
             v = scaled @ M[:3, :3].T + M[:3, 3]
-            colors = mesh.baked_vertex_colors()
+            colors = self._link_colors.get(name)
             if colors is None:
-                base = link.color if link.color is not None else np.full(3, 0.7)
-                colors = np.tile(base.astype(np.float32), (v.shape[0], 1))
+                colors = mesh.baked_vertex_colors()
+                if colors is None:
+                    base = (link.color if link.color is not None
+                            else np.full(3, 0.7))
+                    colors = np.tile(base.astype(np.float32),
+                                     (v.shape[0], 1))
+                self._link_colors[name] = colors
             out.append((jnp.asarray(v), jnp.asarray(mesh.faces), jnp.asarray(colors)))
         return out
 

@@ -223,12 +223,12 @@ def synthetic_mesh_scene(
 
     frames = []
     mcfg = MeshRasterConfig(tile_capacity=512)
+    scene_colors = scene.baked_vertex_colors()   # camera-independent
     for i in range(n_cameras):
         ang = 2 * np.pi * i / n_cameras
         eye = [camera_distance * np.cos(ang), camera_distance * np.sin(ang),
                1.2 + 0.3 * np.sin(2 * ang)]
         cam = Camera.look_at(eye, [0, 0, -0.1], [0, 0, 1], 50.0, width, height)
-        scene_colors = scene.baked_vertex_colors()
         out = rasterize_mesh(jnp.asarray(scene.vertices),
                              jnp.asarray(scene.faces), cam,
                              vertex_colors=(None if scene_colors is None

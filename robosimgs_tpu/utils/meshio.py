@@ -80,14 +80,17 @@ class Mesh:
                     vertex_colors=vc, uv=uv, texture=self.texture)
 
     def baked_vertex_colors(self) -> Optional[np.ndarray]:
-        """(V, 3) colors: explicit vertex colors, else the texture
-        sampled at each vertex's UV (texture appearance at vertex
-        resolution — the color source for splat init / shaded views)."""
+        """(V, 3) colors at vertex resolution: the glTF base-color
+        PRODUCT of vertex colors and the texture sampled at each
+        vertex's UV (either term alone when the other is absent) — the
+        color source for splat init / shaded views."""
+        tex = (sample_texture(self.texture, self.uv)
+               if self.uv is not None and self.texture is not None else None)
+        if self.vertex_colors is not None and tex is not None:
+            return (self.vertex_colors * tex).astype(np.float32)
         if self.vertex_colors is not None:
             return self.vertex_colors
-        if self.uv is not None and self.texture is not None:
-            return sample_texture(self.texture, self.uv)
-        return None
+        return tex
 
     def _sample_barycentric(self, n: int, seed: int):
         rng = np.random.default_rng(seed)
@@ -114,13 +117,18 @@ class Mesh:
         fi, w = self._sample_barycentric(n, seed)
         tri = self.vertices[self.faces[fi]]
         pts = np.einsum("ni,nic->nc", w, tri).astype(np.float32)
+        tex = None
         if self.uv is not None and self.texture is not None:
             uv = np.einsum("ni,nic->nc", w, self.uv[self.faces[fi]])
-            return pts, sample_texture(self.texture, uv)
+            tex = sample_texture(self.texture, uv)
+        col = None
         if self.vertex_colors is not None:
-            col = np.einsum("ni,nic->nc", w, self.vertex_colors[self.faces[fi]])
-            return pts, col.astype(np.float32)
-        return pts, None
+            col = np.einsum("ni,nic->nc", w,
+                            self.vertex_colors[self.faces[fi]]).astype(
+                np.float32)
+        if col is not None and tex is not None:   # glTF: the product
+            return pts, (col * tex).astype(np.float32)
+        return pts, (col if col is not None else tex)
 
 
 def sample_texture(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -164,7 +172,12 @@ def concatenate(meshes: List[Mesh]) -> Mesh:
         vs.append(m.vertices)
         fs.append(m.faces + offs)
         if has_color:
-            cs.append(c if c is not None else np.full_like(m.vertices, 0.7))
+            # under a kept shared texture the color channel MULTIPLIES
+            # the texture, so a colorless part's neutral fill is white
+            # (matching its solo rendering), not the 0.7 gray used for
+            # untextured scenes
+            fill = 1.0 if shared_tex else 0.7
+            cs.append(c if c is not None else np.full_like(m.vertices, fill))
         if shared_tex:
             uvs.append(m.uv)
         offs += m.vertices.shape[0]

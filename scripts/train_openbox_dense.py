@@ -28,7 +28,10 @@ from wedgeguard import start_wedge_guard  # noqa: E402
 SEG = "/root/reference/Articulation/openbox_output/segmentation"
 PARTS = "/root/reference/Articulation/openbox_output/parts"
 
-_pet = start_wedge_guard()
+# this job's big chunked 800^2 mesh-raster program legitimately
+# compiles for ~15 min through the tunnel — default the wedge window
+# wide (RSGS_WEDGE_S still overrides inside start_wedge_guard)
+_pet = start_wedge_guard(1500.0)
 
 
 def build_transforms(out_dir: str) -> str:
@@ -79,17 +82,24 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
 
     if os.path.exists(cache):
         data = np.load(cache)
-        imgs = data["images"]
-        c2ws = data["c2ws"]
-        fxfycxcy = data["intrinsics"]
-        frames = []
-        for i in range(imgs.shape[0]):
-            fx, fy, cx, cy = fxfycxcy[i]
-            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
-            cam = Camera.from_opencv(K, c2ws[i], res, res)
-            frames.append(Frame(camera=cam, image=imgs[i]))
-        print(f"loaded cached dataset: {len(frames)} views", flush=True)
-        return mesh, frames, ref_frames, names
+        meta = data["meta"] if "meta" in data else np.zeros(3)
+        if (tuple(int(x) for x in meta) == (n_views, res, subdiv)
+                and "baked_colors" in data
+                and data["baked_colors"].shape[0] == mesh.vertices.shape[0]):
+            mesh.vertex_colors = data["baked_colors"]
+            imgs = data["images"]
+            c2ws = data["c2ws"]
+            fxfycxcy = data["intrinsics"]
+            frames = []
+            for i in range(imgs.shape[0]):
+                fx, fy, cx, cy = fxfycxcy[i]
+                K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                             np.float32)
+                cam = Camera.from_opencv(K, c2ws[i], res, res)
+                frames.append(Frame(camera=cam, image=imgs[i]))
+            print(f"loaded cached dataset: {len(frames)} views", flush=True)
+            return mesh, frames, ref_frames, names
+        print("cache config mismatch — rebuilding dataset", flush=True)
 
     # -- bake appearance from the six real views --
     t0 = time.time()
@@ -141,7 +151,9 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
         intrinsics=np.stack([
             np.asarray([float(f.camera.fx), float(f.camera.fy),
                         float(f.camera.cx), float(f.camera.cy)], np.float32)
-            for f in frames]))
+            for f in frames]),
+        baked_colors=mesh.vertex_colors,
+        meta=np.asarray([n_views, res, subdiv], np.int64))
     print(f"rendered {n_views} dense views @ {res}^2", flush=True)
     return mesh, frames, ref_frames, names
 
