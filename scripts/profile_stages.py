@@ -70,7 +70,10 @@ def main():
     cfg = RenderConfig(
         tile_capacity=int(os.environ.get("RSGS_PROF_K", 512)),
         max_tiles_per_gaussian=int(os.environ.get("RSGS_PROF_M", 10)),
-        bbox_tiles_per_gaussian=int(os.environ.get("RSGS_PROF_BBOX", 12)))
+        bbox_tiles_per_gaussian=int(os.environ.get("RSGS_PROF_BBOX", 12)),
+        two_tier_split=int(os.environ.get("RSGS_PROF_TT", 4)),
+        two_tier_spill_frac=float(os.environ.get("RSGS_PROF_TT_FRAC",
+                                                 0.15)))
     M, K = cfg.max_tiles_per_gaussian, cfg.tile_capacity
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0, res, res)
     g = Gaussians.random(jax.random.PRNGKey(0), n, sh_degree=3, extent=1.5)

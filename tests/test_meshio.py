@@ -167,3 +167,22 @@ def test_submesh_and_concat_preserve_uv():
     other.texture = _checker_texture(c0=(0, 1, 0), c1=(1, 1, 0))
     cat2 = concatenate([m, other])
     assert cat2.texture is None and cat2.vertex_colors is not None
+
+
+def test_color_texture_product_semantics():
+    """glTF base color: COLOR_0 x baseColorTexture (product), in both
+    baked_vertex_colors and sample_surface_colored."""
+    m = _textured_quad()
+    m.texture = np.ones((4, 4, 3), np.float32)
+    m.vertex_colors = np.full((4, 3), 0.5, np.float32)
+    np.testing.assert_allclose(m.baked_vertex_colors(),
+                               np.full((4, 3), 0.5), atol=1e-6)
+    _, cols = m.sample_surface_colored(16, seed=0)
+    np.testing.assert_allclose(cols, np.full((16, 3), 0.5), atol=1e-6)
+    # colorless part joined with a texture-sharing colored part renders
+    # with a WHITE fill (texture-only look), not 0.7 gray
+    other = Mesh(vertices=m.vertices + 2.0, faces=m.faces, uv=m.uv,
+                 texture=m.texture)
+    cat = concatenate([m, other])
+    assert cat.texture is not None
+    np.testing.assert_allclose(cat.vertex_colors[4:], 1.0, atol=1e-6)
