@@ -220,7 +220,13 @@ def _staged(err, pet):
     attempt = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
     res = 512
     n1m = 1_000_000 + (N_GAUSSIANS % 1000) + attempt
-    tt_split = int(os.environ.get("RSGS_BENCH_TT_SPLIT", "4"))
+    # the staged scenes are DENSER than the primary (most gaussians
+    # cover > 4 tiles): the primary's two-tier default would shed
+    # hundreds of k of rows into the truncation counters (measured
+    # 2026-08-20: trunc 897k @1M/512²), making the timing
+    # incomparable with earlier rounds — staged stays single-tier
+    # unless explicitly overridden
+    tt_split = int(os.environ.get("RSGS_BENCH_STAGED_TT", "0"))
     tt_frac = float(os.environ.get("RSGS_BENCH_TT_FRAC", "0.15"))
     cfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
                        max_tiles_per_gaussian=8,
