@@ -571,13 +571,21 @@ class Trainer:
         return self.state
 
     def eval_psnr(self) -> float:
-        vals = []
+        return self.eval_metrics()["psnr"]
+
+    def eval_metrics(self) -> dict:
+        """Held-out PSNR + SSIM (the splatfacto evaluation pair),
+        averaged over eval frames (train frames when none held out)."""
+        from robosimgs_tpu.train.losses import ssim
+        psnrs, ssims = [], []
         for f in (self.eval_frames or self.frames):
             out = rasterize(self.state.gaussians, f.camera, self.cfg.render,
                             background=jnp.asarray(self.cfg.background), impl=self.impl
                             if self.impl != "tiled" else "tiled")
-            vals.append(float(psnr(out["rgb"], jnp.asarray(f.load(self.cfg.background)))))
-        return float(np.mean(vals))
+            tgt = jnp.asarray(f.load(self.cfg.background))
+            psnrs.append(float(psnr(out["rgb"], tgt)))
+            ssims.append(float(ssim(jnp.clip(out["rgb"], 0.0, 1.0), tgt)))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
 
     # -- checkpointing ----------------------------------------------------
 

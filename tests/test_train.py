@@ -685,3 +685,23 @@ def test_fused_steps_match_unfused_loop():
         np.asarray(tr1.state.gaussians.logit_opacities),
         np.asarray(tr0.state.gaussians.logit_opacities),
         rtol=1e-5, atol=1e-5)
+
+
+def test_eval_metrics_psnr_ssim():
+    """eval_metrics reports the splatfacto pair: PSNR + SSIM."""
+    gt, frames = synthetic_scene(seed=4, n_gaussians=30, n_cameras=2,
+                                 width=40, height=40, sh_degree=1)
+    cfg = TrainConfig(iterations=1,
+                      render=RenderConfig(ref_gaussian_chunk=64,
+                                          tile_capacity=128),
+                      densify_from=10_000, opacity_reset_interval=10_000,
+                      impl="reference", log_every=100)
+    for f in frames:
+        f.image = np.asarray(
+            rasterize(gt, f.camera, cfg.render, impl="reference")["rgb"])
+    trainer = Trainer(cfg, gt, frames)   # GT init: near-perfect fit
+    m = trainer.eval_metrics()
+    assert set(m) == {"psnr", "ssim"}
+    assert abs(m["psnr"] - trainer.eval_psnr()) < 1e-6
+    assert -1.0 < m["ssim"] <= 1.0
+    assert m["ssim"] > 0.9, m
