@@ -151,13 +151,15 @@ def main(argv=None):
 
     trainer = Trainer(cfg, init, train_frames, eval_frames)
     trainer.run()
-    psnr = trainer.eval_psnr()
-    print(f"final eval PSNR: {psnr:.2f} dB")
+    metrics = trainer.eval_metrics()
+    print(f"final eval PSNR: {metrics['psnr']:.2f} dB  "
+          f"SSIM: {metrics['ssim']:.4f}")
 
     ply_path = os.path.join(args.output, "scene.ply")
     save_ply(ply_path, trainer.state.gaussians)
     with open(os.path.join(args.output, "train_summary.json"), "w") as fh:
-        json.dump({"psnr": psnr, "history": trainer.history,
+        json.dump({"psnr": metrics["psnr"], "ssim": metrics["ssim"],
+                   "history": trainer.history,
                    "n_alive": int(trainer.state.gaussians.num_alive)}, fh,
                   indent=2)
     print(f"saved {ply_path}")
