@@ -202,8 +202,9 @@ def main():
 
     cfg = TrainConfig(
         iterations=iters,
-        render=RenderConfig(tile_capacity=int(
-            os.environ.get("DENSE_TILE_CAP", 2048))),
+        render=RenderConfig(
+            tile_capacity=int(os.environ.get("DENSE_TILE_CAP", 2048)),
+            tile_chunk=int(os.environ.get("DENSE_TILE_CHUNK", 0))),
         impl="auto",
         background=(1.0, 1.0, 1.0),
         scene_extent=camera_extent(frames),
@@ -228,11 +229,17 @@ def main():
     dt = time.time() - t0
 
     train_psnr = trainer.history[-1]["psnr"]
-    eval_psnr = trainer.eval_psnr()
+    emetrics = trainer.eval_metrics()
+    eval_psnr = emetrics["psnr"]
     alive = int(trainer.state.gaussians.num_alive)
     print(f"RESULT iters={iters} ({iters/dt:.1f} it/s) "
           f"train_psnr={train_psnr:.2f} eval_psnr={eval_psnr:.2f} "
-          f"alive={alive}", flush=True)
+          f"eval_ssim={emetrics['ssim']:.4f} alive={alive}", flush=True)
+
+    # the trained splat scene is a first-class artifact: rollout
+    # rendering of the REAL object rides on it
+    from robosimgs_tpu.train.io_ply import save_ply
+    save_ply(os.path.join(out_dir, "scene.ply"), trainer.state.gaussians)
 
     # secondary: appearance gap vs the six REAL reference views
     from robosimgs_tpu.render.rasterize import rasterize
@@ -261,6 +268,7 @@ def main():
     with open(os.path.join(out_dir, "result.json"), "w") as fh:
         json.dump({"train_psnr": float(train_psnr),
                    "eval_psnr": float(eval_psnr),
+                   "eval_ssim": float(emetrics["ssim"]),
                    "real_view_psnrs": real_psnrs,
                    "iters_per_sec": iters / dt,
                    "iterations": iters, "views": len(train_frames),
