@@ -134,6 +134,102 @@ def _propagate_nearest(cent: np.ndarray, hit: np.ndarray,
     return hit
 
 
+def _erode_mask(mask: np.ndarray, px: int) -> np.ndarray:
+    if px <= 0:
+        return mask
+    kernel = np.ones((px, px), np.uint8)
+    return cv2.erode(mask.astype(np.uint8), kernel, iterations=1) > 0
+
+
+def fuse_multiview_labels(mesh: Mesh, observations: Sequence[Dict],
+                          dilate_px: int = 0) -> np.ndarray:
+    """Multi-view part-A/part-B face labeling by weighted voting.
+
+    Each observation is {"mask": dilated part-A mask, "camera", "depth",
+    optional "mask_b": part-B's own mask}. Per view, a face votes:
+      - A when visible and inside the mask's ERODED core (undoing the
+        dilation the pick stage applied — the core is the confident
+        claim, the dilation ring is not);
+      - B when visible and outside even the DILATED mask (or inside
+        mask_b's core);
+    weighted by frontality |cos(face normal, direction to camera)| — a
+    face seen face-on in one view outvotes the same face seen edge-on
+    in another, which is exactly the junction-band failure mode of a
+    single view. Faces with no votes propagate from the nearest labeled
+    face in 3D (same rule as the single-view split)."""
+    F = mesh.faces.shape[0]
+    cent = mesh.face_centroids()
+    normals = mesh.face_normals()
+    score_a = np.zeros(F)
+    score_b = np.zeros(F)
+    for ob in observations:
+        mask, cam, depth = ob["mask"], ob["camera"], ob["depth"]
+        H, W = mask.shape
+        uv, in_front = project_points(cent, cam)
+        ui = np.clip(np.round(uv[:, 0]).astype(np.int64), 0, W - 1)
+        vi = np.clip(np.round(uv[:, 1]).astype(np.int64), 0, H - 1)
+        inb = (in_front & (uv[:, 0] >= 0) & (uv[:, 0] <= W - 1)
+               & (uv[:, 1] >= 0) & (uv[:, 1] <= H - 1))
+        w2c = np.asarray(cam.w2c)
+        z = cent @ w2c[2, :3] + w2c[2, 3]
+        dz = depth[vi, ui]
+        visible = inb & np.isfinite(dz) & (z <= dz * 1.01 + 1e-4)
+        eye = np.asarray(cam.origin)
+        to_cam = eye[None, :] - cent
+        to_cam /= np.clip(np.linalg.norm(to_cam, axis=1, keepdims=True),
+                          1e-12, None)
+        w = np.abs((normals * to_cam).sum(1))
+        core = _erode_mask(mask, dilate_px)
+        in_core = np.zeros(F, bool)
+        in_core[inb] = core[vi[inb], ui[inb]]
+        in_dilated = np.zeros(F, bool)
+        in_dilated[inb] = mask[vi[inb], ui[inb]]
+        score_a += np.where(visible & in_core, w, 0.0)
+        score_b += np.where(visible & ~in_dilated, w, 0.0)
+        mb = ob.get("mask_b")
+        if mb is not None:
+            core_b = _erode_mask(mb, dilate_px)
+            in_core_b = np.zeros(F, bool)
+            in_core_b[inb] = core_b[vi[inb], ui[inb]]
+            score_b += np.where(visible & in_core_b, w, 0.0)
+    hit = score_a > score_b
+    labeled = (score_a + score_b) > 0
+    hit = _propagate_nearest(cent, hit, labeled)
+    # isolated mislabeled faces (views disagreeing off the junction)
+    # create spurious zero-distance "contacts" that corrupt the hinge
+    # PCA downstream — smooth them out by edge-adjacency majority
+    return smooth_face_labels(mesh, hit)
+
+
+def smooth_face_labels(mesh: Mesh, hit: np.ndarray,
+                       iterations: int = 5) -> np.ndarray:
+    """Flip faces whose edge-adjacent neighbors strictly outvote their
+    label (island removal; ties keep the current label)."""
+    f = mesh.faces
+    edges = np.sort(np.concatenate(
+        [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1)
+    fid = np.tile(np.arange(f.shape[0]), 3)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    e_s, f_s = edges[order], fid[order]
+    same = (e_s[1:] == e_s[:-1]).all(1)       # shared manifold edges
+    pa, pb = f_s[:-1][same], f_s[1:][same]    # adjacent face pairs
+    hit = hit.copy()
+    for _ in range(iterations):
+        votes_a = np.zeros(f.shape[0], np.int32)   # neighbors saying A
+        votes_n = np.zeros(f.shape[0], np.int32)   # neighbor count
+        np.add.at(votes_a, pa, hit[pb].astype(np.int32))
+        np.add.at(votes_a, pb, hit[pa].astype(np.int32))
+        np.add.at(votes_n, pa, 1)
+        np.add.at(votes_n, pb, 1)
+        new = np.where(votes_a * 2 > votes_n, True,
+                       np.where((votes_n - votes_a) * 2 > votes_n,
+                                False, hit))
+        if (new == hit).all():
+            break
+        hit = new
+    return hit
+
+
 def split_mesh_by_points(mesh: Mesh, points: np.ndarray
                          ) -> Tuple[Mesh, Mesh, np.ndarray]:
     """Geometric fallback split: assign each face to the nearest of two
@@ -192,6 +288,7 @@ class Segmenter:
         view_names: Optional[Sequence[str]] = None,
         visual_prompt: str = "blur",
         mllm_masks: bool = False,
+        fusion_views: int = 1,
     ):
         self.mesh = mesh
         self.out_dir = out_dir
@@ -202,6 +299,10 @@ class Segmenter:
         self.mask_dilate_px = mask_dilate_px
         self.min_mask_area = min_mask_area
         self.max_mask_area = max_mask_area
+        # >= 2: generate the part mask on that many geometrically-ranked
+        # views and label faces by frontality-weighted multi-view voting
+        # (fuse_multiview_labels) instead of the single-view split
+        self.fusion_views = fusion_views
         # MLLM candidate-mask decision (the reference's GPT-automatic
         # segmentation, interactive_segmenter.py:1054-1164 /
         # simple_segmenter.py:863-946): the model picks the winning mask
@@ -582,14 +683,55 @@ class Segmenter:
 
     # -- stage 6: split + export -----------------------------------------
 
+    def _fused_labels(self, views: Dict[str, Dict], view: str,
+                      mask: np.ndarray, mask_b: Optional[np.ndarray],
+                      prompts: Dict[str, str],
+                      selected: Sequence[Dict]) -> Optional[np.ndarray]:
+        """Build multi-view observations (the chosen view's mask plus
+        part-A masks generated on the next-best geometric views) and
+        fuse. Returns None when no extra view yields a usable mask —
+        the single-view split then proceeds unchanged."""
+        obs = [{"mask": mask, "mask_b": mask_b,
+                "camera": views[view]["camera"],
+                "depth": views[view]["depth"]}]
+        part0 = list(prompts.values())[0]
+        remaining = {n: v for n, v in views.items()
+                     if n != view and v.get("depth") is not None}
+        while len(obs) < self.fusion_views and remaining:
+            if len(selected) >= 2:
+                nxt = self._choose_view_geometric(remaining, selected)
+            else:
+                nxt = next(iter(remaining))
+            v2 = remaining.pop(nxt)
+            uv2, _ = project_points(
+                np.asarray([s["position"] for s in selected], np.float32),
+                v2["camera"])
+            try:
+                m2 = self.segment_part(
+                    v2["clean"], part0, marker_uv=tuple(uv2[0]),
+                    view_name=nxt,
+                    exclude_uvs=[tuple(u) for u in uv2[1:]])
+            except (ValueError, MLLMError):
+                continue
+            obs.append({"mask": m2, "camera": v2["camera"],
+                        "depth": v2["depth"]})
+        if len(obs) < 2:
+            return None
+        return fuse_multiview_labels(self.mesh, obs,
+                                     dilate_px=self.mask_dilate_px)
+
     def split_and_export(self, mask: np.ndarray, camera: Camera,
                          prompts: Dict[str, str], view_name: str,
                          depth: Optional[np.ndarray] = None,
-                         mask_b: Optional[np.ndarray] = None
+                         mask_b: Optional[np.ndarray] = None,
+                         hit: Optional[np.ndarray] = None
                          ) -> Dict[str, Mesh]:
         colors = list(prompts)
-        part_a, part_b, _ = split_mesh_by_mask(self.mesh, mask, camera,
-                                               depth=depth, mask_b=mask_b)
+        if hit is not None:      # precomputed (multi-view fused) labels
+            part_a, part_b = self.mesh.submesh(hit), self.mesh.submesh(~hit)
+        else:
+            part_a, part_b, _ = split_mesh_by_mask(self.mesh, mask, camera,
+                                                   depth=depth, mask_b=mask_b)
         if part_a.faces.shape[0] == 0 or part_b.faces.shape[0] == 0:
             raise ValueError(
                 "degenerate split: one part has no faces — the mask covers "
@@ -779,9 +921,14 @@ class Segmenter:
                         mask_b = mb
                 except ValueError:
                     pass
+        fused_hit = None
+        if (self.fusion_views >= 2 and len(views) > 1 and not joint
+                and views[view].get("depth") is not None):
+            fused_hit = self._fused_labels(views, view, mask, mask_b,
+                                           prompts, selected)
         parts = self.split_and_export(mask, cam, prompts, view,
                                       depth=views[view].get("depth"),
-                                      mask_b=mask_b)
+                                      mask_b=mask_b, hit=fused_hit)
         colors = list(prompts)
         return SegmentationResult(
             parts=parts, prompts=prompts, best_view=view,

@@ -645,3 +645,62 @@ def test_openbox_masknet_end_to_end_hinge():
     assert cos > 0.995, (cos, hinge.axis)
     assert abs(hinge.confidence
                - golden["hinge"]["axis_confidence"]) < 0.05, hinge.confidence
+
+
+def test_fuse_multiview_labels_beats_single_view():
+    """Frontality-weighted multi-view voting: with each view's mask
+    DILATED (the pick stage's over-claim), the single-view split
+    over-assigns a band of the other part; fusing a second orthogonal
+    view recovers a strictly more accurate face labeling."""
+    import jax.numpy as jnp
+
+    from robosimgs_tpu.artic.render_views import view_camera
+    from robosimgs_tpu.artic.segmentation import fuse_multiview_labels
+    from robosimgs_tpu.render.mesh_raster import rasterize_mesh
+    from robosimgs_tpu.utils.bake import subdivide_mesh
+
+    m = subdivide_mesh(box_mesh((0.5, 0.5, 0.5)), 3)
+    gt = m.face_centroids()[:, 2] > 0.0          # part A = top half
+    dil = 6
+
+    obs = []
+    for d in ([0.0, -1.0, 0.0], [1.0, 0.0, 0.0]):
+        cam = view_camera(m, np.asarray(d), resolution=160)
+        full = rasterize_mesh(jnp.asarray(m.vertices), jnp.asarray(m.faces),
+                              cam)
+        part_a = m.submesh(gt)
+        am = rasterize_mesh(jnp.asarray(part_a.vertices),
+                            jnp.asarray(part_a.faces), cam)
+        # part A's TRUE silhouette where it wins the full z-buffer,
+        # dilated like the segmenter's pick stage output
+        a_sil = (np.asarray(am["mask"])
+                 & (np.asarray(am["depth"])
+                    <= np.asarray(full["depth"]) + 1e-3))
+        obs.append({"mask": dilate_mask(a_sil, dil), "camera": cam,
+                    "depth": np.asarray(full["depth"])})
+
+    single, _, hit1 = split_mesh_by_mask(
+        m, obs[0]["mask"], obs[0]["camera"], depth=obs[0]["depth"])
+    err1 = int((hit1 != gt).sum())
+    hit2 = fuse_multiview_labels(m, obs, dilate_px=dil)
+    err2 = int((hit2 != gt).sum())
+    assert err1 > 0                       # dilation really over-claims
+    assert err2 < err1, (err2, err1)      # fusion strictly better
+    assert err2 <= err1 // 2, (err2, err1)
+
+
+def test_smooth_face_labels_removes_islands():
+    from robosimgs_tpu.artic.segmentation import smooth_face_labels
+    from robosimgs_tpu.utils.bake import subdivide_mesh
+
+    m = subdivide_mesh(box_mesh((0.5, 0.5, 0.5)), 2)
+    gt = m.face_centroids()[:, 2] > 0.0
+    noisy = gt.copy()
+    rng = np.random.default_rng(0)
+    flip = rng.choice(len(gt), size=8, replace=False)
+    noisy[flip] = ~noisy[flip]
+    sm = smooth_face_labels(m, noisy)
+    assert (sm != gt).sum() < (noisy != gt).sum()
+    # a clean boundary is a fixed point (no erosion of the halves)
+    stable = smooth_face_labels(m, gt)
+    assert (stable == gt).all()
