@@ -683,7 +683,7 @@ class Segmenter:
 
     # -- stage 6: split + export -----------------------------------------
 
-    def _fused_labels(self, views: Dict[str, Dict], view: str,
+    def fused_labels(self, views: Dict[str, Dict], view: str,
                       mask: np.ndarray, mask_b: Optional[np.ndarray],
                       prompts: Dict[str, str],
                       selected: Sequence[Dict]) -> Optional[np.ndarray]:
@@ -924,7 +924,7 @@ class Segmenter:
         fused_hit = None
         if (self.fusion_views >= 2 and len(views) > 1 and not joint
                 and views[view].get("depth") is not None):
-            fused_hit = self._fused_labels(views, view, mask, mask_b,
+            fused_hit = self.fused_labels(views, view, mask, mask_b,
                                            prompts, selected)
         parts = self.split_and_export(mask, cam, prompts, view,
                                       depth=views[view].get("depth"),
