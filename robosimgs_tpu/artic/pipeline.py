@@ -67,12 +67,16 @@ class ArticulationPipeline:
     def __init__(self, movable: Mesh, base: Mesh,
                  robot_name: str = "articulated_object",
                  mllm: Optional[MLLMClient] = None,
-                 contact_margin: float = 0.01):
+                 contact_margin: float = 0.01,
+                 hinge_trim: int = 0):
         self.movable = movable
         self.base = base
         self.robot_name = robot_name
         self.mllm = mllm
         self.contact_margin = contact_margin
+        # robust trimmed contact-PCA iterations for mask-driven splits
+        # (HingeDetector trim); 0 = exact reference semantics
+        self.hinge_trim = hinge_trim
 
     # -- MLLM parameter recommendation -----------------------------------
 
@@ -127,7 +131,8 @@ class ArticulationPipeline:
             movable, base = base, movable
             movable_name, base_name = base_name, movable_name
 
-        hinge = HingeDetector(movable, base, self.contact_margin).detect()
+        hinge = HingeDetector(movable, base, self.contact_margin,
+                              trim=self.hinge_trim).detect()
         translation = HingeDetector.translation_to_origin(hinge)
         movable_c = movable.translated(translation)
         base_c = base.translated(translation)
