@@ -16,6 +16,7 @@ vertices no view sees.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -99,36 +100,32 @@ def _masked_bilinear(img: np.ndarray, valid: np.ndarray, u: np.ndarray,
     return cols.astype(np.float32), wacc.astype(np.float32)
 
 
-def bake_vertex_colors_from_views(
+def _collect_view_samples(
     mesh: Mesh,
-    images: Sequence[np.ndarray],            # (H, W, 3) float32 in [0,1]
+    images: Sequence[np.ndarray],
     cameras: Sequence[Camera],
-    depth_tol: float = 0.01,                 # relative z-buffer slack
-    min_cos: float = 0.15,                   # grazing-angle cutoff
-    tile_capacity: int = 1024,
-    max_tiles_per_tri: int = 512,
-    tri_chunk: int = 0,                      # chunked z-buffer (big K)
-    pet=None,                                # watchdog callback per view
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Back-project posed views onto mesh vertices.
+    depth_tol: float,
+    min_cos: float,
+    tile_capacity: int,
+    max_tiles_per_tri: int,
+    tri_chunk: int,
+    pet=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-view back-projection samples for every vertex.
 
-    Visibility is a per-view mesh-raster z-buffer test (vertex depth
-    within depth_tol of the rasterized surface), weighting is
-    cos(normal, to-camera) above the grazing cutoff. Vertices no view
-    passes are filled from their nearest seen vertex. Returns
-    (colors (V, 3) float32, seen (V,) bool). Capacity overflows in the
-    raster pass raise (a truncated z-buffer silently corrupts
-    visibility — CLAUDE.md convention)."""
+    Returns (cols (n, V, 3), wts (n, V), dirs (n, V, 3)) float32: the
+    bilinear image color each view observes at each vertex, its
+    visibility/angle/coverage weight (0 = not visible from that view),
+    and the unit vertex->camera direction. One mesh-raster z-buffer per
+    view; capacity overflows raise (a truncated z-buffer silently
+    corrupts visibility — CLAUDE.md convention)."""
     import jax.numpy as jnp
 
     from robosimgs_tpu.render.mesh_raster import (MeshRasterConfig,
                                                   rasterize_mesh)
 
     v = mesh.vertices
-    V = v.shape[0]
     normals = vertex_normals(mesh)
-    acc = np.zeros((V, 3), np.float64)
-    wsum = np.zeros((V,), np.float64)
     cfg = MeshRasterConfig(tile_capacity=tile_capacity,
                            max_tiles_per_tri=max_tiles_per_tri,
                            tri_chunk=tri_chunk)
@@ -139,6 +136,7 @@ def bake_vertex_colors_from_views(
     # signature as the colored target renders that typically follow —
     # one slow tunnel compile instead of two
     jcols = jnp.zeros_like(jverts)
+    all_cols, all_w, all_dirs = [], [], []
     for img, cam in zip(images, cameras):
         out = rasterize_mesh(jverts, jfaces, cam, vertex_colors=jcols,
                              cfg=cfg)
@@ -176,14 +174,180 @@ def bake_vertex_colors_from_views(
         # weight by view angle AND object coverage of the bilinear
         # footprint, so silhouette-straddling samples count less
         w = np.where(visible & (cosw > min_cos), cosw * ccov, 0.0)
-        acc += w[:, None] * col
-        wsum += w
+        all_cols.append(col.astype(np.float32))
+        all_w.append(w.astype(np.float32))
+        all_dirs.append(to_cam.astype(np.float32))
+    return (np.stack(all_cols), np.stack(all_w), np.stack(all_dirs))
+
+
+def bake_vertex_colors_from_views(
+    mesh: Mesh,
+    images: Sequence[np.ndarray],            # (H, W, 3) float32 in [0,1]
+    cameras: Sequence[Camera],
+    depth_tol: float = 0.01,                 # relative z-buffer slack
+    min_cos: float = 0.15,                   # grazing-angle cutoff
+    tile_capacity: int = 1024,
+    max_tiles_per_tri: int = 512,
+    tri_chunk: int = 0,                      # chunked z-buffer (big K)
+    pet=None,                                # watchdog callback per view
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Back-project posed views onto mesh vertices.
+
+    Visibility is a per-view mesh-raster z-buffer test (vertex depth
+    within depth_tol of the rasterized surface), weighting is
+    cos(normal, to-camera) above the grazing cutoff. Vertices no view
+    passes are filled from their nearest seen vertex. Returns
+    (colors (V, 3) float32, seen (V,) bool)."""
+    cols, wts, _ = _collect_view_samples(
+        mesh, images, cameras, depth_tol, min_cos, tile_capacity,
+        max_tiles_per_tri, tri_chunk, pet)
+    acc = np.einsum("nv,nvc->vc", wts.astype(np.float64),
+                    cols.astype(np.float64))
+    wsum = wts.astype(np.float64).sum(0)
     seen = wsum > 0
     colors = np.where(seen[:, None], acc / np.clip(wsum[:, None], 1e-12, None),
                       0.5).astype(np.float32)
+    v = mesh.vertices
     if seen.any() and not seen.all():
         colors[~seen] = colors[seen][_nearest_indices(v[~seen], v[seen])]
     return colors, seen
+
+
+@dataclass
+class BakedAppearance:
+    """View-dependent per-vertex appearance recovered by the bake.
+
+    color(vertex, view dir d) = sh0 + dir1 @ [dx, dy, dz] — sh0 is the
+    diffuse (degree-0) term, dir1 a per-vertex linear directional term
+    (the same function space as real SH degree 1, in the monomial
+    basis). view_gain/view_bias are the per-view affine exposures the
+    solve removed from the observations (identity when exposure
+    solving is off)."""
+
+    sh0: np.ndarray        # (V, 3) float32
+    dir1: np.ndarray       # (V, 3, 3) float32: [vertex, dir-xyz, channel]
+    seen: np.ndarray       # (V,) bool
+    view_gain: np.ndarray  # (n_views, 3) float32
+    view_bias: np.ndarray  # (n_views, 3) float32
+
+
+def _solve_view_exposure(cols: np.ndarray, wts: np.ndarray,
+                         iters: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-view per-channel affine exposure (gain, bias) aligning every
+    view's observations to the cross-view consensus.
+
+    Alternates (a) per-vertex weighted mean of corrected colors and
+    (b) per-view 2x2 weighted least squares of (gain*obs + bias - mean).
+    The global affine gauge freedom is pinned by renormalizing the
+    weight-averaged correction to identity each sweep, so the solve
+    removes view-to-view DISAGREEMENT without drifting overall
+    brightness. Degenerate views (no samples / flat color) stay
+    identity; gains are clamped to [0.2, 5]."""
+    n = cols.shape[0]
+    g = np.ones((n, 3), np.float64)
+    b = np.zeros((n, 3), np.float64)
+    c = cols.astype(np.float64)
+    w = wts.astype(np.float64)
+    multi = (w > 0).sum(0) >= 2      # only multi-view vertices constrain
+    w = w * multi[None, :]
+    for _ in range(iters):
+        corr = g[:, None, :] * c + b[:, None, :]
+        mu = np.einsum("nv,nvc->vc", w, corr) / np.clip(
+            w.sum(0)[:, None], 1e-12, None)
+        # per view/channel WLS: minimize sum_v w (g*c + b - mu)^2
+        sw = w.sum(1)                                    # (n,)
+        sc = np.einsum("nv,nvc->nc", w, c)
+        scc = np.einsum("nv,nvc->nc", w, c * c)
+        sm = np.einsum("nv,vc->nc", w, mu)
+        scm = np.einsum("nv,nvc,vc->nc", w, c, mu)
+        det = sw[:, None] * scc - sc * sc
+        ok = (sw[:, None] > 1e-8) & (det > 1e-10 * np.maximum(scc, 1e-12))
+        g_new = np.where(ok, (sw[:, None] * scm - sc * sm)
+                         / np.where(ok, det, 1.0), 1.0)
+        g_new = np.clip(g_new, 0.2, 5.0)
+        b_new = np.where(ok, (sm - g_new * sc)
+                         / np.clip(sw[:, None], 1e-8, None), 0.0)
+        # pin the gauge: weight-averaged correction -> identity
+        vw = sw / np.clip(sw.sum(), 1e-12, None)
+        gbar = (vw[:, None] * g_new).sum(0)
+        bbar = (vw[:, None] * b_new).sum(0)
+        g = g_new / np.clip(gbar[None, :], 1e-6, None)
+        b = (b_new - bbar[None, :]) / np.clip(gbar[None, :], 1e-6, None)
+    return g.astype(np.float32), b.astype(np.float32)
+
+
+def bake_appearance_from_views(
+    mesh: Mesh,
+    images: Sequence[np.ndarray],
+    cameras: Sequence[Camera],
+    depth_tol: float = 0.01,
+    min_cos: float = 0.15,
+    tile_capacity: int = 1024,
+    max_tiles_per_tri: int = 512,
+    tri_chunk: int = 0,
+    pet=None,
+    exposure: bool = True,
+    degree: int = 1,                         # 0 = diffuse only
+    dir_reg: float = 0.5,                    # Tikhonov on dir1, rel. wsum
+) -> BakedAppearance:
+    """View-dependent bake: exposure-aligned back-projection plus a
+    per-vertex degree-1 directional color model.
+
+    The plain bake (`bake_vertex_colors_from_views`) averages whatever
+    shading each view saw into one diffuse color; disagreeing exposures
+    and specular lobes both land as blur. This solver first removes a
+    per-view affine exposure (gain/bias per channel), then fits
+    color(d) = sh0 + dir1 @ d per vertex by ridge-regularized weighted
+    least squares over the observed vertex->camera directions d. With
+    few or degenerate observations the ridge term shrinks dir1 to 0 and
+    the fit falls back to the diffuse mean. Unseen vertices copy their
+    nearest seen vertex's sh0 (dir1 = 0)."""
+    cols, wts, dirs = _collect_view_samples(
+        mesh, images, cameras, depth_tol, min_cos, tile_capacity,
+        max_tiles_per_tri, tri_chunk, pet)
+    n, V = wts.shape
+    if exposure and n >= 2:
+        gain, bias = _solve_view_exposure(cols, wts)
+    else:
+        gain = np.ones((n, 3), np.float32)
+        bias = np.zeros((n, 3), np.float32)
+    c = gain[:, None, :] * cols.astype(np.float64) + bias[:, None, :]
+    w = wts.astype(np.float64)
+    wsum = w.sum(0)
+    seen = wsum > 0
+    mu = np.einsum("nv,nvc->vc", w, c) / np.clip(wsum[:, None], 1e-12, None)
+
+    dir1 = np.zeros((V, 3, 3), np.float32)
+    if degree >= 1 and n >= 2:
+        # per-vertex ridge WLS in the centered basis: residual(d) =
+        # dir1 @ d with A = sum_n w d d^T + lam I (3x3 batched solve).
+        # Centering the colors on mu keeps sh0 = exposure-corrected mean
+        # exactly, so degree=1 strictly refines the diffuse bake.
+        d = dirs.astype(np.float64)                      # (n, V, 3)
+        res = c - mu[None, :, :]                         # (n, V, 3)
+        A = np.einsum("nv,nvi,nvj->vij", w, d, d)        # (V, 3, 3)
+        rhs = np.einsum("nv,nvi,nvc->vic", w, d, res)    # (V, 3, 3)
+        lam = dir_reg * np.clip(wsum, 1e-12, None)
+        A = A + lam[:, None, None] * np.eye(3)[None]
+        dir1 = np.linalg.solve(A, rhs).astype(np.float32)
+        dir1[~seen] = 0.0
+
+    v = mesh.vertices
+    sh0 = np.where(seen[:, None], mu, 0.5).astype(np.float32)
+    if seen.any() and not seen.all():
+        sh0[~seen] = sh0[seen][_nearest_indices(v[~seen], v[seen])]
+    return BakedAppearance(sh0=sh0, dir1=dir1, seen=seen,
+                           view_gain=gain, view_bias=bias)
+
+
+def eval_baked_colors(baked: BakedAppearance, vertices: np.ndarray,
+                      cam_origin: np.ndarray) -> np.ndarray:
+    """Per-vertex colors for a novel viewpoint: sh0 + dir1 @ d with d
+    the unit vertex->camera direction, clipped to [0, 1]."""
+    d = np.asarray(cam_origin, np.float32)[None, :] - vertices
+    d = d / np.clip(np.linalg.norm(d, axis=1, keepdims=True), 1e-12, None)
+    cols = baked.sh0 + np.einsum("vic,vi->vc", baked.dir1, d)
+    return np.clip(cols, 0.0, 1.0).astype(np.float32)
 
 
 def _nearest_indices(query: np.ndarray, ref: np.ndarray,

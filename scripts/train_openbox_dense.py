@@ -65,10 +65,17 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
     from robosimgs_tpu.render.mesh_raster import (MeshRasterConfig,
                                                   rasterize_mesh)
     from robosimgs_tpu.train.data import Frame, parse_transforms_json
-    from robosimgs_tpu.utils.bake import (bake_vertex_colors_from_views,
-                                          subdivide_mesh)
+    from robosimgs_tpu.utils.bake import (bake_appearance_from_views,
+                                          bake_vertex_colors_from_views,
+                                          eval_baked_colors, subdivide_mesh)
     from robosimgs_tpu.utils.meshio import concatenate, load_mesh, save_mesh
 
+    # DENSE_APPEARANCE=dir1 bakes a per-vertex degree-1 directional
+    # color model (+ per-view exposure solve) instead of the diffuse
+    # average: the dense targets then carry the view-dependent shading
+    # the six source renders contain, instead of blurring it away
+    appearance = os.environ.get("DENSE_APPEARANCE", "diffuse")
+    mode_flag = {"diffuse": 0, "dir1": 1}[appearance]
     cache = os.path.join(out_dir, "dense_dataset.npz")
     tj = build_transforms(out_dir)
     ref_frames = parse_transforms_json(tj)      # six real views, 800^2
@@ -83,7 +90,9 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
     if os.path.exists(cache):
         data = np.load(cache)
         meta = data["meta"] if "meta" in data else np.zeros(3)
-        if (tuple(int(x) for x in meta) == (n_views, res, subdiv)
+        want = ((n_views, res, subdiv) if len(meta) == 3 and mode_flag == 0
+                else (n_views, res, subdiv, mode_flag))
+        if (tuple(int(x) for x in meta) == want
                 and "baked_colors" in data
                 and data["baked_colors"].shape[0] == mesh.vertices.shape[0]):
             mesh.vertex_colors = data["baked_colors"]
@@ -107,11 +116,22 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
     imgs6 = [f.load(background=(1, 1, 1)) for f in ref_frames]
     cams6 = [f.camera for f in ref_frames]
     tile_k = int(os.environ.get("DENSE_TILE_K", 32768))
-    colors, seen = bake_vertex_colors_from_views(
-        mesh, imgs6, cams6, tile_capacity=tile_k + attempt,
-        max_tiles_per_tri=256, tri_chunk=512, pet=_pet)
+    baked = None
+    if appearance == "dir1":
+        baked = bake_appearance_from_views(
+            mesh, imgs6, cams6, tile_capacity=tile_k + attempt,
+            max_tiles_per_tri=256, tri_chunk=512, pet=_pet,
+            exposure=True, degree=1,
+            dir_reg=float(os.environ.get("DENSE_DIR_REG", 0.25)))
+        colors, seen = baked.sh0, baked.seen
+        print(f"exposure gains: {np.round(baked.view_gain, 3).tolist()}",
+              flush=True)
+    else:
+        colors, seen = bake_vertex_colors_from_views(
+            mesh, imgs6, cams6, tile_capacity=tile_k + attempt,
+            max_tiles_per_tri=256, tri_chunk=512, pet=_pet)
     mesh.vertex_colors = colors
-    print(f"bake: {seen.mean()*100:.1f}% verts seen, "
+    print(f"bake[{appearance}]: {seen.mean()*100:.1f}% verts seen, "
           f"{time.time()-t0:.1f}s", flush=True)
     save_mesh(os.path.join(out_dir, "baked.ply"), mesh)
 
@@ -136,6 +156,11 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
             np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)])
         up = [0, 0, 1]
         cam = Camera.look_at(eye, center, up, fov, res, res)
+        if baked is not None:
+            # per-view directional appearance; colors stay a traced
+            # input, so every view reuses ONE compiled raster program
+            jc = jnp.asarray(eval_baked_colors(
+                baked, mesh.vertices, np.asarray(cam.origin)))
         out = rasterize_mesh(jv, jf, cam, vertex_colors=jc, cfg=mcfg)
         st = jax.tree_util.tree_map(int, jax.device_get(out["stats"]))
         assert st.truncated_gaussians == 0 and st.overflowed_tiles == 0, (
@@ -153,7 +178,9 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
                         float(f.camera.cx), float(f.camera.cy)], np.float32)
             for f in frames]),
         baked_colors=mesh.vertex_colors,
-        meta=np.asarray([n_views, res, subdiv], np.int64))
+        **({"baked_dir1": baked.dir1, "view_gain": baked.view_gain,
+            "view_bias": baked.view_bias} if baked is not None else {}),
+        meta=np.asarray([n_views, res, subdiv, mode_flag], np.int64))
     print(f"rendered {n_views} dense views @ {res}^2", flush=True)
     return mesh, frames, ref_frames, names
 
