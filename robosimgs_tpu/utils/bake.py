@@ -250,6 +250,9 @@ def _solve_view_exposure(cols: np.ndarray, wts: np.ndarray,
     w = wts.astype(np.float64)
     multi = (w > 0).sum(0) >= 2      # only multi-view vertices constrain
     w = w * multi[None, :]
+    if w.sum() <= 1e-8:              # no cross-view overlap: nothing to
+        return (g.astype(np.float32),  # align, solve stays identity
+                b.astype(np.float32))
     for _ in range(iters):
         corr = g[:, None, :] * c + b[:, None, :]
         mu = np.einsum("nv,nvc->vc", w, corr) / np.clip(

@@ -226,6 +226,21 @@ def test_bake_appearance_single_view_identity_exposure():
     assert baked.seen.any()
 
 
+def test_exposure_solve_identity_without_overlap():
+    """Disjoint visibility (no vertex seen by >= 2 views) gives the
+    solve nothing to align: it must return identity, not divide by the
+    empty gauge (regression: gains exploded to ~1e6)."""
+    from robosimgs_tpu.utils.bake import _solve_view_exposure
+    rng = np.random.default_rng(7)
+    cols = rng.uniform(0.2, 0.8, size=(2, 40, 3)).astype(np.float32)
+    wts = np.zeros((2, 40), np.float32)
+    wts[0, :20] = 1.0
+    wts[1, 20:] = 1.0
+    g, b = _solve_view_exposure(cols, wts)
+    np.testing.assert_array_equal(g, 1.0)
+    np.testing.assert_array_equal(b, 0.0)
+
+
 def test_bake_raises_on_truncation():
     m = _cube()
     cam = Camera.look_at([2.5, 0.4, 0.6], [0, 0, 0], [0, 0, 1], 45.0,
