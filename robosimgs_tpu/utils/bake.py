@@ -274,7 +274,9 @@ def _solve_view_exposure(cols: np.ndarray, wts: np.ndarray,
         vw = sw / np.clip(sw.sum(), 1e-12, None)
         gbar = (vw[:, None] * g_new).sum(0)
         bbar = (vw[:, None] * b_new).sum(0)
-        g = g_new / np.clip(gbar[None, :], 1e-6, None)
+        # re-apply the clamp post-gauge so the documented [0.2, 5] bound
+        # holds on the RETURNED gains, not just pre-normalization
+        g = np.clip(g_new / np.clip(gbar[None, :], 1e-6, None), 0.2, 5.0)
         b = (b_new - bbar[None, :]) / np.clip(gbar[None, :], 1e-6, None)
     return g.astype(np.float32), b.astype(np.float32)
 
@@ -336,7 +338,10 @@ def bake_appearance_from_views(
         dir1[~seen] = 0.0
 
     v = mesh.vertices
-    sh0 = np.where(seen[:, None], mu, 0.5).astype(np.float32)
+    # the exposure-corrected mean can leave [0, 1]; sh0 is assigned to
+    # vertex_colors downstream (Gaussians.from_points init), so clip here
+    sh0 = np.clip(np.where(seen[:, None], mu, 0.5), 0.0, 1.0).astype(
+        np.float32)
     if seen.any() and not seen.all():
         sh0[~seen] = sh0[seen][_nearest_indices(v[~seen], v[seen])]
     return BakedAppearance(sh0=sh0, dir1=dir1, seen=seen,

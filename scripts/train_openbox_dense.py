@@ -76,6 +76,7 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
     # the six source renders contain, instead of blurring it away
     appearance = os.environ.get("DENSE_APPEARANCE", "diffuse")
     mode_flag = {"diffuse": 0, "dir1": 1}[appearance]
+    dir_reg = float(os.environ.get("DENSE_DIR_REG", 0.25))
     cache = os.path.join(out_dir, "dense_dataset.npz")
     tj = build_transforms(out_dir)
     ref_frames = parse_transforms_json(tj)      # six real views, 800^2
@@ -89,10 +90,15 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
 
     if os.path.exists(cache):
         data = np.load(cache)
-        meta = data["meta"] if "meta" in data else np.zeros(3)
-        want = ((n_views, res, subdiv) if len(meta) == 3 and mode_flag == 0
-                else (n_views, res, subdiv, mode_flag))
-        if (tuple(int(x) for x in meta) == want
+        meta = tuple(int(x) for x in
+                     (data["meta"] if "meta" in data else np.zeros(3)))
+        base = (n_views, res, subdiv)
+        # appearance hyperparameters are part of the cache key: a dir1
+        # rerun with a different dir_reg must rebuild, not silently
+        # reuse the stale bake (older caches wrote 3/4-element metas)
+        accept = ([base, base + (0,), base + (0, 0)] if mode_flag == 0
+                  else [base + (1, int(round(dir_reg * 1000)))])
+        if (meta in accept
                 and "baked_colors" in data
                 and data["baked_colors"].shape[0] == mesh.vertices.shape[0]):
             mesh.vertex_colors = data["baked_colors"]
@@ -121,8 +127,7 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
         baked = bake_appearance_from_views(
             mesh, imgs6, cams6, tile_capacity=tile_k + attempt,
             max_tiles_per_tri=256, tri_chunk=512, pet=_pet,
-            exposure=True, degree=1,
-            dir_reg=float(os.environ.get("DENSE_DIR_REG", 0.25)))
+            exposure=True, degree=1, dir_reg=dir_reg)
         colors, seen = baked.sh0, baked.seen
         print(f"exposure gains: {np.round(baked.view_gain, 3).tolist()}",
               flush=True)
@@ -180,7 +185,9 @@ def build_dataset(out_dir: str, n_views: int, res: int, subdiv: int):
         baked_colors=mesh.vertex_colors,
         **({"baked_dir1": baked.dir1, "view_gain": baked.view_gain,
             "view_bias": baked.view_bias} if baked is not None else {}),
-        meta=np.asarray([n_views, res, subdiv, mode_flag], np.int64))
+        meta=np.asarray([n_views, res, subdiv, mode_flag,
+                         int(round(dir_reg * 1000)) if mode_flag else 0],
+                        np.int64))
     print(f"rendered {n_views} dense views @ {res}^2", flush=True)
     return mesh, frames, ref_frames, names
 
@@ -255,11 +262,14 @@ def main():
     _pet()
     dt = time.time() - t0
 
+    appearance = os.environ.get("DENSE_APPEARANCE", "diffuse")
+    dir_reg = float(os.environ.get("DENSE_DIR_REG", 0.25))
     train_psnr = trainer.history[-1]["psnr"]
     emetrics = trainer.eval_metrics()
     eval_psnr = emetrics["psnr"]
     alive = int(trainer.state.gaussians.num_alive)
     print(f"RESULT iters={iters} ({iters/dt:.1f} it/s) "
+          f"appearance={appearance} "
           f"train_psnr={train_psnr:.2f} eval_psnr={eval_psnr:.2f} "
           f"eval_ssim={emetrics['ssim']:.4f} alive={alive}", flush=True)
 
@@ -301,7 +311,8 @@ def main():
                    "iterations": iters, "views": len(train_frames),
                    "capacity": capacity, "init_points": int(len(pts)),
                    "final_alive": alive, "resolution": [res, res],
-                   "subdiv": subdiv,
+                   "subdiv": subdiv, "appearance": appearance,
+                   "dir_reg": dir_reg,
                    "history": trainer.history}, fh, indent=1)
     print(f"artifacts in {out_dir}", flush=True)
 
