@@ -22,6 +22,11 @@ def build_parser():
                    help="force a material (skips coarse+zero-shot)")
     p.add_argument("--method", default=None, choices=[None, "mpm", "pbd"])
     p.add_argument("--mllm", default="none", choices=["none", "openai"])
+    p.add_argument("--scripted", default=None, metavar="SPEC_JSON",
+                   help="drive the full flow headless with scripted fakes: "
+                        'JSON {"caption": str, "responses": [[needle, '
+                        'response], ...], "preferences": {label: weight}} '
+                        "(tests/golden uses this for the e2e artifact)")
     return p
 
 
@@ -60,13 +65,23 @@ def main(argv=None):
         print(json.dumps(result, indent=2))
         return
 
-    mllm = None
+    mllm, scorer = None, None
     if args.mllm == "openai":
         from robosimgs_tpu.artic.mllm import OpenAIChat
         mllm = OpenAIChat()
     captioner = StaticCaptioner(args.caption) if args.caption else None
-    est = PhysicsEstimator(captioner=captioner, mllm=mllm).estimate(
-        img, out_path=out_path)
+    if args.scripted:
+        import json
+        from robosimgs_tpu.artic.mllm import ScriptedMLLM, UniformScorer
+        spec = json.load(open(args.scripted))
+        mllm = ScriptedMLLM(responses=[tuple(r) for r in spec["responses"]],
+                            default=spec.get("default"))
+        if spec.get("caption"):
+            captioner = StaticCaptioner(spec["caption"])
+        if spec.get("preferences"):
+            scorer = UniformScorer(spec["preferences"])
+    est = PhysicsEstimator(captioner=captioner, scorer=scorer,
+                           mllm=mllm).estimate(img, out_path=out_path)
     print(f"method={est.method} material={est.material} params={est.params}")
     print(f"saved {out_path}")
 
