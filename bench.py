@@ -220,17 +220,29 @@ def _staged(err, pet):
     attempt = 16 * int(os.environ.get("TPU_RUN_ATTEMPT", "0") or 0)
     res = 512
     n1m = 1_000_000 + (N_GAUSSIANS % 1000) + attempt
-    # the staged scenes are DENSER than the primary (most gaussians
-    # cover > 4 tiles): the primary's two-tier default would shed
-    # hundreds of k of rows into the truncation counters (measured
-    # 2026-08-20: trunc 897k @1M/512²), making the timing
-    # incomparable with earlier rounds — staged stays single-tier
-    # unless explicitly overridden
-    tt_split = int(os.environ.get("RSGS_BENCH_STAGED_TT", "0"))
-    tt_frac = float(os.environ.get("RSGS_BENCH_TT_FRAC", "0.15"))
-    cfg = RenderConfig(tile_capacity=1024, tile_chunk=512,
-                       max_tiles_per_gaussian=8,
+    # LOSSLESS staged config (round 5; scripts/staged_cover_stats.py +
+    # scripts/staged_lossless.py): the r1-r4 K=1024/M=8 config silently
+    # M-truncated 717k of the scene's 7.95M true pairs — M-truncation
+    # drops NEAR tiles (image-corrupting), unlike K-overflow which
+    # drops the FARTHEST entries saturated tiles never show. Measured
+    # scene maxima: bbox cover 25, survivor cover 22, per-tile demand
+    # 21626. So M=24/bbox=28 -> truncated_gaussians == 0 (asserted),
+    # and K=512 is gated every run against the truly lossless K=22016
+    # render, the primary bench's own convention (measured 87.3 dB).
+    # Two-tier split=12 keeps every row with cover > 12 in the spill
+    # tier (71680 rows measured; trunc==0 assert guards the coverage).
+    # Timings 2026-08-20: single-tier K=1024 194.7 / K=512 134.1 ms;
+    # two-tier K=512 100.4 ms vs the old LOSSY 159.66 ms.
+    tt_split = int(os.environ.get("RSGS_BENCH_STAGED_TT", "12"))
+    tt_frac = float(os.environ.get("RSGS_BENCH_TT_FRAC", str(71680 / 1e6)))
+    k_staged = int(os.environ.get("RSGS_BENCH_STAGED_K", "512"))
+    cfg = RenderConfig(tile_capacity=k_staged, tile_chunk=512,
+                       max_tiles_per_gaussian=24,
+                       bbox_tiles_per_gaussian=28,
                        two_tier_split=tt_split, two_tier_spill_frac=tt_frac)
+    cfg_lossless = RenderConfig(tile_capacity=22016, tile_chunk=512,
+                                max_tiles_per_gaussian=24,
+                                bbox_tiles_per_gaussian=28)
     cam = Camera.look_at([4.0, 0.5, 1.2], [0, 0, 0], [0, 0, 1], 60.0,
                          res, res)
     g = Gaussians.random(jax.random.PRNGKey(1), n1m, sh_degree=3,
@@ -239,6 +251,21 @@ def _staged(err, pet):
     optimizer = make_optimizer()
     params = float_params(g)
     opt_state = optimizer.init(params)
+
+    # capacity-equivalence gate at the staged scale (mirrors bench.py's
+    # primary gate): the staged K must reproduce the lossless render
+    def s_render(c):
+        return np.asarray(jax.jit(lambda p: composite_tiled(
+            project(g.replace(**p), cam, c), res, res, c)["rgb"])(params))
+    r_fast = s_render(cfg)
+    pet()
+    r_full = s_render(cfg_lossless)
+    pet()
+    mse = float(np.mean((r_fast - r_full) ** 2))
+    s_psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    print(f"staged K={k_staged} vs lossless render: {s_psnr:.1f} dB",
+          file=err)
+    assert s_psnr > 60.0, f"staged capacity not output-equivalent: {s_psnr}"
 
     def step(params, opt_state):
         def loss_fn(p):
@@ -256,12 +283,13 @@ def _staged(err, pet):
     params, opt_state, loss, stats = step(params, opt_state)
     jax.block_until_ready(loss)
     pet()
-    # truncation is never silent (CLAUDE.md): report it next to the
-    # number so an under-provisioned staged config can't masquerade as
-    # a faster one
     print(f"1M staged stats: trunc={int(stats.truncated_gaussians)} "
           f"overflow_tiles={int(stats.overflowed_tiles)} "
           f"max_tile_count={int(stats.max_tile_count)}", file=err)
+    # the staged number is HONEST since r5: zero M-truncation asserted
+    # (K-overflow is covered by the equivalence gate above)
+    assert int(stats.truncated_gaussians) == 0, (
+        f"staged config truncates {int(stats.truncated_gaussians)}")
     t0 = time.time()
     for _ in range(10):
         params, opt_state, loss, stats = step(params, opt_state)

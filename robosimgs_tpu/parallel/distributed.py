@@ -284,7 +284,7 @@ def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
 
     cache = {}
 
-    def train_step(state, camera, target):
+    def _jitted_for(state):
         treedef = jax.tree_util.tree_structure(state)
         if treedef not in cache:
             cap = state.gaussians.capacity
@@ -299,8 +299,15 @@ def make_gaussian_sharded_train_step(cfg: TrainConfig, mesh: Mesh,
                 out_specs=(state_specs, metric_specs),
                 check_vma=False)
             cache[treedef] = jax.jit(sharded, donate_argnums=(0,))
-        return cache[treedef](state, camera, target)
+        return cache[treedef]
 
+    def train_step(state, camera, target):
+        return _jitted_for(state)(state, camera, target)
+
+    # AOT access (memory-evidence tooling): step.jitted_for(state)
+    # .lower(...).compile().memory_analysis() reads XLA's per-device
+    # buffer assignment without running a step
+    train_step.jitted_for = _jitted_for
     return train_step
 
 
