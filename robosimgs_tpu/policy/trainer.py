@@ -33,6 +33,13 @@ class PolicyTrainConfig:
     total_steps: int = 50_000
     batch_size: int = 64
     ema_decay: float = 0.995
+    # train-time image augmentation (clutter/domain-randomization
+    # robustness): per-sample random shift (wrap-roll, +-shift_px) and
+    # brightness/contrast jitter, applied identically to every frame of
+    # an observation window inside the jitted step. Eval stays clean.
+    augment: bool = False
+    aug_shift_px: int = 4
+    aug_color: float = 0.2
 
 
 @dataclasses.dataclass
@@ -109,9 +116,28 @@ class PolicyTrainer:
     def _make_step(self):
         model, schedule, cfg = self.model, self.schedule, self.cfg
 
+        def augment(key, images):
+            b = images.shape[0]
+            k1, k2, k3 = jax.random.split(key, 3)
+            sp = cfg.aug_shift_px
+            shifts = jax.random.randint(k1, (b, 2), -sp, sp + 1)
+            # same shift/color for every frame of a window (temporal
+            # consistency keeps state-action alignment intact)
+            imgs = jax.vmap(
+                lambda im, s: jnp.roll(im, (s[0], s[1]), axis=(1, 2))
+            )(images, shifts)
+            bright = 1.0 + cfg.aug_color * jax.random.uniform(
+                k2, (b, 1, 1, 1, 1), minval=-1.0, maxval=1.0)
+            contr = 1.0 + cfg.aug_color * jax.random.uniform(
+                k3, (b, 1, 1, 1, 1), minval=-1.0, maxval=1.0)
+            mean = jnp.mean(imgs, axis=(2, 3), keepdims=True)
+            return jnp.clip((imgs - mean) * contr + mean * bright, 0.0, 1.0)
+
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, opt_state, ema, key, images, states, actions):
-            key, k1, k2 = jax.random.split(key, 3)
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            if cfg.augment:
+                images = augment(k3, images)
             b = actions.shape[0]
             t = jax.random.randint(k1, (b,), 0, cfg.policy.diffusion_steps)
             noise = jax.random.normal(k2, actions.shape)

@@ -94,23 +94,35 @@ def main():
     base_eye = center + radius * np.array([1.1, 0.7, 0.8])
     print(f"object center {center.round(3)} radius {radius:.3f}", flush=True)
 
-    # background: gaussian clutter pushed OUTSIDE a clear zone around
-    # the object (clutter between camera and object drowns the visual
-    # signal — the first run's frames were mostly noise and the policy
-    # leaned on the state input)
-    bg = Gaussians.random(jax.random.PRNGKey(3), 2500, sh_degree=1,
-                          extent=3.0 * radius)
-    m = np.asarray(bg.means)
-    d = np.linalg.norm(m, axis=1, keepdims=True)
-    push = np.maximum(1.6 * radius, d) / np.maximum(d, 1e-6)
-    bg = bg.replace(means=jnp.asarray(m * push + center, jnp.float32))
+    # POLICY_CLUTTER=1 (VERDICT r4 item 5): clutter is NOT pushed out of
+    # the object zone and is RESAMPLED per episode (fresh layouts at
+    # eval too) — the configuration that scored 2-3/8 in r2. The
+    # matching robustness levers (spatial-softmax encoder + train-time
+    # shift/color augmentation) are switched on below in this mode.
+    clutter = os.environ.get("POLICY_CLUTTER", "0") == "1"
+
+    def make_bg(seed: int):
+        bg = Gaussians.random(jax.random.PRNGKey(seed), 2500, sh_degree=1,
+                              extent=3.0 * radius)
+        m = np.asarray(bg.means)
+        if clutter:
+            # centered on the scene, no clear zone: splats can sit
+            # between camera and object and partially veil it
+            return bg.replace(means=jnp.asarray(m + center, jnp.float32))
+        d = np.linalg.norm(m, axis=1, keepdims=True)
+        push = np.maximum(1.6 * radius, d) / np.maximum(d, 1e-6)
+        return bg.replace(means=jnp.asarray(m * push + center, jnp.float32))
+
+    bg = make_bg(3)
 
     # POLICY_RES=96 runs the policy at its native observation size
     # (VERDICT r2 #8); default keeps the CPU-friendly 64
     RES = int(os.environ.get("POLICY_RES", 64))
-    n_eps, ep_len = 64, 40
+    n_eps = int(os.environ.get("POLICY_EPS", 64))
+    ep_len = 40
     rng = np.random.default_rng(0)
-    cache = os.path.join(out, "dataset.npz")
+    cache = os.path.join(out, "dataset_clutter.npz" if clutter
+                         else "dataset.npz")
     if os.path.exists(cache):
         # resume: reuse the rendered dataset (rendering dominates CPU
         # wall-clock; training/eval tweaks shouldn't pay for it again)
@@ -136,7 +148,8 @@ def main():
             step = speed + rng.normal(0, 0.004)
             qs.append(min(q_open, qs[-1] + max(step, 0.0)))
         traj = np.asarray(qs, np.float32)[:, None]          # (T+1, 1)
-        frames = render_rollout(bg, [obj], traj[:-1], [cam], cfg=cfg,
+        ep_bg = make_bg(100 + e) if clutter else bg
+        frames = render_rollout(ep_bg, [obj], traj[:-1], [cam], cfg=cfg,
                                 impl="tiled" if jax.default_backend() == "tpu"
                                 else "reference")
         frames = np.asarray(frames[:, 0], np.float32)       # (T, H, W, 3)
@@ -176,10 +189,11 @@ def main():
     pc = DiffusionPolicyConfig(action_dim=1, horizon=8, obs_horizon=2,
                                image_size=(RES, RES), state_dim=1,
                                embed_dim=64, hidden_dim=128, n_blocks=3,
-                               diffusion_steps=50)
+                               diffusion_steps=50, spatial_softmax=clutter)
     tcfg = PolicyTrainConfig(policy=pc, lr=1e-3, warmup_steps=100,
-                             total_steps=8000, batch_size=64,
-                             ema_decay=0.995)
+                             total_steps=int(os.environ.get(
+                                 "POLICY_STEPS", 8000)), batch_size=64,
+                             ema_decay=0.995, augment=clutter)
     tr = PolicyTrainer(tcfg, ds, seed=0)
     _pet()
     t_train0 = time.time()
@@ -219,7 +233,9 @@ def main():
             chunker = (ActionChunker(policy50, pc.obs_horizon, pc.horizon,
                                      ensemble=True, ensemble_alpha=0.3)
                        if mode == "ensemble" else None)
-            res = run_closed_loop(policy50, bg, obj, [cam], steps=steps,
+            # clutter mode: FRESH layouts at eval — the transfer test
+            eval_bg = make_bg(1000 + i) if clutter else bg
+            res = run_closed_loop(policy50, eval_bg, obj, [cam], steps=steps,
                                   obs_horizon=pc.obs_horizon,
                                   actions_per_step=4, q0=q0,
                                   target_q=np.array([q_open]), cfg=cfg,
@@ -235,6 +251,9 @@ def main():
     t_eval = time.time() - t_eval0
 
     results = {
+        "clutter": clutter,
+        "encoder": "spatial_softmax" if pc.spatial_softmax else "gap",
+        "augment": tcfg.augment,
         "dataset": {"episodes": n_eps, "ep_len": ep_len, "res": RES,
                     "frames": int(n_frames), "render_s": round(t_render, 1),
                     "frames_per_s": round(n_frames / t_render, 1)
@@ -251,7 +270,6 @@ def main():
     with open(os.path.join(out, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results), flush=True)
-    _done["ok"] = True
 
 
 if __name__ == "__main__":
