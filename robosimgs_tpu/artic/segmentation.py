@@ -180,18 +180,37 @@ def fuse_multiview_labels(mesh: Mesh, observations: Sequence[Dict],
                           1e-12, None)
         w = np.abs((normals * to_cam).sum(1))
         core = _erode_mask(mask, dilate_px)
+        # distance-to-boundary confidence: a claim deep inside the core
+        # (or far outside the dilation) is trustworthy; one hugging the
+        # mask edge is exactly the junction-band error source — the
+        # mask itself over-claims by a few px there, so boundary-adjacent
+        # votes must not outweigh a clean far-from-edge vote from
+        # another view (r5; cuts openbox lid over-assignment vs r4)
+        tau = float(max(dilate_px, 4))
+        d_in = cv2.distanceTransform(core.astype(np.uint8),
+                                     cv2.DIST_L2, 3)
+        d_out = cv2.distanceTransform((~mask).astype(np.uint8),
+                                      cv2.DIST_L2, 3)
+        conf_a = np.zeros(F)
+        conf_a[inb] = np.minimum(d_in[vi[inb], ui[inb]] / tau, 1.0)
+        conf_b = np.zeros(F)
+        conf_b[inb] = np.minimum(d_out[vi[inb], ui[inb]] / tau, 1.0)
         in_core = np.zeros(F, bool)
         in_core[inb] = core[vi[inb], ui[inb]]
         in_dilated = np.zeros(F, bool)
         in_dilated[inb] = mask[vi[inb], ui[inb]]
-        score_a += np.where(visible & in_core, w, 0.0)
-        score_b += np.where(visible & ~in_dilated, w, 0.0)
+        score_a += np.where(visible & in_core, w * conf_a, 0.0)
+        score_b += np.where(visible & ~in_dilated, w * conf_b, 0.0)
         mb = ob.get("mask_b")
         if mb is not None:
             core_b = _erode_mask(mb, dilate_px)
+            d_in_b = cv2.distanceTransform(core_b.astype(np.uint8),
+                                           cv2.DIST_L2, 3)
+            conf_bb = np.zeros(F)
+            conf_bb[inb] = np.minimum(d_in_b[vi[inb], ui[inb]] / tau, 1.0)
             in_core_b = np.zeros(F, bool)
             in_core_b[inb] = core_b[vi[inb], ui[inb]]
-            score_b += np.where(visible & in_core_b, w, 0.0)
+            score_b += np.where(visible & in_core_b, w * conf_bb, 0.0)
     hit = score_a > score_b
     labeled = (score_a + score_b) > 0
     hit = _propagate_nearest(cent, hit, labeled)

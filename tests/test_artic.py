@@ -728,9 +728,11 @@ def test_openbox_fused_split_with_trimmed_hinge_beats_default():
                           pts["points"][1]["position"]],
                   part_names=["lid", "box body"])
     n_red = res.parts["RED"].faces.shape[0]
-    # face-level accuracy: within 500 of the reference's 8393 (the
-    # single-view split lands ~1060 over)
-    assert abs(n_red - red.faces.shape[0]) < 500, n_red
+    # face-level accuracy: within 150 of the reference's 8393 (the
+    # single-view split lands ~1060 over; r4 fusion +266; r5's
+    # distance-to-mask-edge vote weighting lands +77 —
+    # docs/evidence/fusion_junction_r5.json)
+    assert abs(n_red - red.faces.shape[0]) < 150, n_red
 
     hinge = HingeDetector(res.parts["RED"], res.parts["GREEN"],
                           trim=8).detect()
