@@ -168,13 +168,24 @@ def main():
             project(g, cams[0], ref_cfg), W, H, ref_cfg)["rgb"])()
         jax.block_until_ready(ref)
         _pet()
-        for k in (1024, 512):
-            r = jax.jit(lambda k=k: composite_tiled(
-                project(g, cams[0], mkcfg(k)), W, H, mkcfg(k))["rgb"])()
+        # candidates must be M-lossless too — gating a K candidate at
+        # the truncating m=12 measures M-truncation error, not
+        # K-overflow (measured: the r4 lossy config sits at 19.2 dB vs
+        # lossless, i.e. its rendered image is visibly wrong)
+        for k in (2048, 1024, 512):
+            kc = mkcfg(k, m=64, bbox=84)
+            r = jax.jit(lambda kc=kc: composite_tiled(
+                project(g, cams[0], kc), W, H, kc)["rgb"])()
             p = float(psnr(r, ref))
             results[f"gate_K{k}_dB"] = round(p, 1)
-            print(f"K={k} vs K={k_loss}: {p:.1f} dB", flush=True)
+            print(f"K={k} (m=64) vs K={k_loss}: {p:.1f} dB", flush=True)
             _pet()
+        # the r4 lossy config's own distance to lossless, for the record
+        r4r = jax.jit(lambda: composite_tiled(
+            project(g, cams[0], cfg_r4), W, H, cfg_r4)["rgb"])()
+        results["r4_lossy_dB"] = round(float(psnr(r4r, ref)), 1)
+        print(f"r4 lossy (M=12,K=1024) vs lossless: "
+              f"{results['r4_lossy_dB']} dB", flush=True)
 
     print("RESULT " + json.dumps(results), flush=True)
 
