@@ -34,6 +34,11 @@ def build_parser():
                    help="measure the scene against the rollout cameras "
                         "and render with lossless-fit capacities + the "
                         "two-tier sort (fwd-only throughput win)")
+    p.add_argument("--autotune-gate-db", type=float, default=60.0,
+                   help="with --autotune: shrink tile_capacity to the "
+                        "smallest K whose render matches the full-"
+                        "demand capacity above this PSNR (saturation "
+                        "gate; 0 disables and keeps the lossless K)")
     return p
 
 
@@ -99,7 +104,9 @@ def main(argv=None):
     rcfg = None
     if args.autotune:
         from robosimgs_tpu.render.autotune import recommend_capacities
-        rcfg = recommend_capacities(background, cams)
+        rcfg = recommend_capacities(
+            background, cams,
+            gate_db=args.autotune_gate_db or None)
         print(f"autotuned: K={rcfg.tile_capacity} "
               f"M={rcfg.max_tiles_per_gaussian} "
               f"bbox={rcfg.bbox_tiles_per_gaussian} "

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Iterable, Sequence
+from typing import Iterable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,12 +34,23 @@ def recommend_capacities(
     cameras: Sequence[Camera],
     base: RenderConfig = RenderConfig(),
     headroom: float = 1.5,
+    gate_db: Optional[float] = None,
 ) -> RenderConfig:
     """Measure per-camera tile statistics and return a RenderConfig whose
     capacities are lossless for the measured views (x headroom).
 
     tile_capacity is rounded to a multiple of 128 (the Pallas lane-block
     size); max_tiles_per_gaussian to a multiple of 4.
+
+    gate_db: when set, additionally searches for the SMALLEST
+    tile_capacity whose render of the measured cameras matches the
+    full-demand capacity above this PSNR (r5 finding: dense scenes
+    saturate transmittance long before the max per-tile demand —
+    K-overflow drops only the farthest entries, so a gated K of 512 can
+    be output-equivalent to a 22k lossless capacity while the (T, K)
+    gather work shrinks ~40x; the bench gates at 60 dB). M/bbox stay
+    at their lossless values — M-truncation drops NEAR tiles and is
+    never gated away. Costs one render per candidate K per camera.
     """
     from robosimgs_tpu.render.binning import per_gaussian_cover
 
@@ -105,7 +116,7 @@ def recommend_capacities(
         if best > 0.75 * base_slots:
             split, frac = 0, 0.0
 
-    return dataclasses.replace(
+    cfg = dataclasses.replace(
         base,
         max_tiles_per_gaussian=kept,
         # enumerate the full bbox only when the cull buys slot reduction
@@ -114,3 +125,45 @@ def recommend_capacities(
         two_tier_split=split,
         two_tier_spill_frac=frac,
     )
+    if gate_db is not None:
+        cfg = dataclasses.replace(
+            cfg, tile_capacity=_gate_capacity(gaussians, cameras, cfg,
+                                              gate_db))
+    return cfg
+
+
+def _gate_capacity(gaussians: Gaussians, cameras: Sequence[Camera],
+                   cfg: RenderConfig, gate_db: float) -> int:
+    """Smallest K (power-of-two-ish multiple of 128, >= 128) whose
+    render matches the full-demand-capacity render above gate_db on
+    EVERY measured camera. Single-tier probe configs (the two-tier
+    split only changes sort work, not the kept entries)."""
+    from robosimgs_tpu.render.tiled import composite_tiled
+    import jax
+
+    k_full = cfg.tile_capacity
+
+    def render(cam, k):
+        c = dataclasses.replace(cfg, tile_capacity=k, tile_chunk=0,
+                                two_tier_split=0)
+        proj = project(gaussians, cam, c)
+        return composite_tiled(proj, cam.width, cam.height, c)["rgb"]
+
+    refs = [jax.device_get(render(cam, k_full)) for cam in cameras]
+    candidates = []
+    k = 128
+    while k < k_full:
+        candidates.append(k)
+        k *= 2
+    for k in candidates:
+        ok = True
+        for cam, ref in zip(cameras, refs):
+            out = jax.device_get(render(cam, k))
+            mse = float(((out - ref) ** 2).mean())
+            psnr = 10.0 * math.log10(1.0 / max(mse, 1e-12))
+            if psnr < gate_db:
+                ok = False
+                break
+        if ok:
+            return k
+    return k_full

@@ -216,6 +216,33 @@ def test_recommend_capacities():
     assert int(stats.overflowed_tiles) == 0
 
 
+def test_recommend_capacities_saturation_gate():
+    """gate_db: a dense saturated scene gets a much smaller K than the
+    full per-tile demand, with the gated render matching the lossless
+    one above the gate (the r5 bench convention, productized)."""
+    import dataclasses
+
+    import jax
+
+    from robosimgs_tpu.render.autotune import recommend_capacities
+    from robosimgs_tpu.render.tiled import composite_tiled
+    from robosimgs_tpu.train.losses import psnr
+
+    cam = Camera.look_at([3.0, 0.3, 0.8], [0, 0, 0], [0, 0, 1], 55.0,
+                         96, 96)
+    g = Gaussians.random(jax.random.PRNGKey(3), 12000, sh_degree=1,
+                         extent=1.0)
+    plain = recommend_capacities(g, [cam], CFG)
+    gated = recommend_capacities(g, [cam], CFG, gate_db=60.0)
+    assert gated.tile_capacity <= plain.tile_capacity
+    # M/bbox must be untouched (M-truncation is never gated away)
+    assert gated.max_tiles_per_gaussian == plain.max_tiles_per_gaussian
+    assert gated.bbox_tiles_per_gaussian == plain.bbox_tiles_per_gaussian
+    a = composite_tiled(project(g, cam, gated), 96, 96, gated)["rgb"]
+    b = composite_tiled(project(g, cam, plain), 96, 96, plain)["rgb"]
+    assert float(psnr(a, b)) > 60.0
+
+
 def test_absgrad_matches_per_pixel_jacobian():
     """absgrad (RenderConfig.absgrad): the gradient of the abs_probe
     must equal the sum over pixels of the ABSOLUTE per-pixel screen
