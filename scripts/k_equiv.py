@@ -59,8 +59,11 @@ def main():
         return RenderConfig(tile_capacity=k, max_tiles_per_gaussian=12,
                             tile_chunk=chunk)
 
+    import os as _os
+    ks = [tuple(int(v) for v in x.split(":")) for x in _os.environ.get(
+        "KEQ_KS", "5120:512,1024:0,512:0,768:0").split(",")]
     outs, grads = {}, {}
-    for k, chunk in [(5120, 512), (1024, 0), (512, 0), (768, 0)]:
+    for k, chunk in ks:
         _pet()
         cfg = cfg_k(k, chunk)
 
@@ -76,12 +79,13 @@ def main():
         print(f"K={k}: loss={float(l):.6f}", flush=True)
         _pet()
 
-    ref = outs[5120]
-    for k in (1024, 768, 512):
+    k_ref = ks[0][0]
+    ref = outs[k_ref]
+    for k, _ in ks[1:]:
         p = float(psnr(jnp.asarray(outs[k]), jnp.asarray(ref)))
-        gd = max(float(np.max(np.abs(grads[k][f] - grads[5120][f])))
+        gd = max(float(np.max(np.abs(grads[k][f] - grads[k_ref][f])))
                  for f in grads[k])
-        gm = max(float(np.max(np.abs(grads[5120][f]))) for f in grads[5120])
+        gm = max(float(np.max(np.abs(grads[k_ref][f]))) for f in grads[k_ref])
         print(f"K={k} vs lossless: psnr={p:.1f} dB  max|grad diff|={gd:.3e} "
               f"(grad scale {gm:.3e})", flush=True)
 
@@ -99,7 +103,7 @@ def main():
             return optax.apply_updates(params, updates), opt_state, loss
         return jax.jit(step, donate_argnums=(0, 1))
 
-    for k, chunk in [(1024, 0), (768, 0), (512, 0)]:
+    for k, chunk in ks[1:]:
         _pet()
         stepf = make_step(cfg_k(k, chunk))
         cur = (jax.tree_util.tree_map(jnp.copy, params0),
