@@ -240,12 +240,16 @@ def _staged(err, pet):
     # render, the primary bench's own convention (measured 87.3 dB).
     # Two-tier split=12 keeps every row with cover > 12 in the spill
     # tier (71680 rows measured; trunc==0 assert guards the coverage).
-    # Timings 2026-08-20: single-tier K=1024 194.7 / K=512 134.1 ms;
-    # two-tier K=512 100.4 ms vs the old LOSSY 159.66 ms.
+    # Timings 2026-08-20/21: single-tier K=1024 194.7 / K=512 134.1;
+    # two-tier K=512 100.4 / K=384 91.25 ms vs the old LOSSY 159.66.
+    # K gate history on this scene: 512 -> 87.3 dB, 384 -> 68.5 dB
+    # (both > the 60 dB bar, asserted below every run), 256 -> 54.3 dB
+    # (FAILS — 384 is the floor).
     tt_split = int(os.environ.get("RSGS_BENCH_STAGED_TT", "12"))
     tt_frac = float(os.environ.get("RSGS_BENCH_TT_FRAC", str(71680 / 1e6)))
-    k_staged = int(os.environ.get("RSGS_BENCH_STAGED_K", "512"))
-    cfg = RenderConfig(tile_capacity=k_staged, tile_chunk=512,
+    k_staged = int(os.environ.get("RSGS_BENCH_STAGED_K", "384"))
+    cfg = RenderConfig(tile_capacity=k_staged,
+                       tile_chunk=512 if k_staged % 512 == 0 else 0,
                        max_tiles_per_gaussian=24,
                        bbox_tiles_per_gaussian=28,
                        two_tier_split=tt_split, two_tier_spill_frac=tt_frac)

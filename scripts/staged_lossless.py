@@ -70,7 +70,10 @@ def main():
     params0 = float_params(g)
 
     def cfg_k(k, split=0, frac=0.0):
-        return RenderConfig(tile_capacity=k, tile_chunk=512,
+        # tile_chunk must divide K; non-512-multiples run single-chunk
+        # (VMEM per tile = 16*K*4 B, trivially small at K<=512)
+        return RenderConfig(tile_capacity=k,
+                            tile_chunk=512 if k % 512 == 0 else 0,
                             max_tiles_per_gaussian=M_KEPT,
                             bbox_tiles_per_gaussian=M_BBOX,
                             two_tier_split=split, two_tier_spill_frac=frac)
