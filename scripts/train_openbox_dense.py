@@ -224,7 +224,24 @@ def main():
     hold_idx = set(np.linspace(0, n_views - 1, n_hold).astype(int).tolist())
     train_frames = [f for i, f in enumerate(frames) if i not in hold_idx]
     eval_frames = [f for i, f in enumerate(frames) if i in hold_idx]
-    print(f"{len(train_frames)} train views, {len(eval_frames)} held out",
+    # DENSE_REAL_REPEAT=k mixes the six REAL capture views into training
+    # (each repeated k times): the bake can only express its degree-1
+    # appearance model, so view-dependent appearance it cannot carry is
+    # recovered by the splats' own SH from the real views directly,
+    # while the dense synthetic ring keeps novel-view geometry anchored
+    # (VERDICT r4 item 6). With k > 0 the real-view PSNRs reported
+    # below are partially TRAIN-set scores (there is no 7th real view
+    # to hold out) — the held-out DENSE eval stays the novel-view
+    # metric; results.json records the flag.
+    real_repeat = int(os.environ.get("DENSE_REAL_REPEAT", 0))
+    from robosimgs_tpu.train.data import Frame as _Frame
+    if real_repeat > 0:
+        for _ in range(real_repeat):
+            for fr in ref_frames:
+                train_frames.append(_Frame(
+                    camera=fr.camera, image=fr.load(background=(1, 1, 1))))
+    print(f"{len(train_frames)} train views "
+          f"(+{real_repeat}x6 real), {len(eval_frames)} held out",
           flush=True)
 
     # init: colored noisy surface samples (SfM proxy on the real scan)
@@ -313,6 +330,8 @@ def main():
                    "final_alive": alive, "resolution": [res, res],
                    "subdiv": subdiv, "appearance": appearance,
                    "dir_reg": dir_reg,
+                   "real_repeat": int(os.environ.get("DENSE_REAL_REPEAT",
+                                                     0)),
                    "history": trainer.history}, fh, indent=1)
     print(f"artifacts in {out_dir}", flush=True)
 
