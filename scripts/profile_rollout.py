@@ -74,7 +74,9 @@ def main():
 
     # r4 default config vs measured variants (scene stats from the CPU
     # cover measurement — see docs/ROOFLINE.md rollout section)
-    def mkcfg(k, m=12, bbox=0, split=0, frac=0.0, chunk=512):
+    def mkcfg(k, m=12, bbox=0, split=0, frac=0.0, chunk=None):
+        if chunk is None:  # tile_chunk must divide K
+            chunk = 512 if k % 512 == 0 else 0
         return RenderConfig(tile_capacity=k, tile_chunk=chunk,
                             max_tiles_per_gaussian=m,
                             bbox_tiles_per_gaussian=bbox,
